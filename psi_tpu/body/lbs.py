@@ -1,0 +1,129 @@
+"""Linear blend skinning, TPU-native.
+
+Re-derivation of the SMPL-family LBS forward used by the reference
+(vendored at human_body_prior/body_model/lbs.py:34-261, and the
+external smplx package): shape blendshapes -> joint regression ->
+Rodrigues -> pose-corrective blendshapes -> kinematic-chain rigid
+transform -> skinning. All steps are batched jnp; the kinematic-chain
+walk is unrolled at trace time (static 55-joint tree) into a sequence
+of [B, 4, 4] matmuls, which XLA schedules as one fused program — there
+is no per-joint Python in the hot path at runtime.
+
+Matmuls touching geometry run at HIGHEST precision: TPU MXUs default to
+bf16 inputs, and vertex coordinates need full f32.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from psi_tpu.geometry.rot6d import aa_to_matrix
+
+_P = jax.lax.Precision.HIGHEST
+
+
+def blend_shapes(betas: jax.Array, shape_disps: jax.Array) -> jax.Array:
+    """betas [B, L], shape_disps [V, 3, L] -> per-vertex displacement [B, V, 3].
+
+    (reference: human_body_prior/body_model/lbs.py:141-162)
+    """
+    return jnp.einsum("bl,mkl->bmk", betas, shape_disps, precision=_P)
+
+
+def vertices2joints(J_regressor: jax.Array, vertices: jax.Array) -> jax.Array:
+    """J_regressor [J, V], vertices [B, V, 3] -> joints [B, J, 3].
+
+    (reference: human_body_prior/body_model/lbs.py:121-138)
+    """
+    return jnp.einsum("bik,ji->bjk", vertices, J_regressor, precision=_P)
+
+
+def batch_rigid_transform(
+    rot_mats: jax.Array, joints: jax.Array, parents: Tuple[int, ...]
+) -> Tuple[jax.Array, jax.Array]:
+    """Compose per-joint rotations down the kinematic tree.
+
+    rot_mats: [B, J, 3, 3]; joints: [B, J, 3] rest positions;
+    parents: static tuple, parents[0] == -1.
+    Returns (posed_joints [B, J, 3], rel_transforms [B, J, 4, 4]) where
+    rel_transforms are the skinning transforms relative to the rest pose
+    (reference: human_body_prior/body_model/lbs.py:207-261).
+    """
+    B, J = joints.shape[:2]
+    dtype = joints.dtype
+
+    rel = joints.at[:, 1:].add(-joints[:, list(parents[1:])])  # joint offsets from parent
+
+    # [B, J, 4, 4] local transforms
+    pad_row = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 0.0, 1.0], dtype=dtype), (B, J, 1, 4)
+    )
+    local = jnp.concatenate(
+        [jnp.concatenate([rot_mats, rel[..., None]], axis=-1), pad_row], axis=-2
+    )
+
+    # unrolled tree walk (static topology)
+    chain = [local[:, 0]]
+    for j in range(1, J):
+        chain.append(jnp.matmul(chain[parents[j]], local[:, j], precision=_P))
+    transforms = jnp.stack(chain, axis=1)  # [B, J, 4, 4]
+
+    posed_joints = transforms[:, :, :3, 3]
+
+    # subtract the transform of the rest-pose joint location so the
+    # skinning transform maps rest -> posed
+    rot_j = jnp.einsum("bjxy,bjy->bjx", transforms[:, :, :3, :3], joints, precision=_P)
+    rel_transforms = transforms.at[:, :, :3, 3].add(-rot_j)
+    return posed_joints, rel_transforms
+
+
+def lbs(
+    betas: jax.Array,
+    pose_aa: jax.Array,
+    v_template: jax.Array,
+    shapedirs: jax.Array,
+    posedirs: jax.Array,
+    J_regressor: jax.Array,
+    parents: Tuple[int, ...],
+    lbs_weights: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Full LBS forward.
+
+    betas:       [B, L] shape coefficients
+    pose_aa:     [B, J*3] axis-angle pose (joint 0 = global orient)
+    v_template:  [V, 3]
+    shapedirs:   [V, 3, L]
+    posedirs:    [(J-1)*9, V*3] pose-corrective basis (or None)
+    J_regressor: [J, V]
+    parents:     static tuple of J ints
+    lbs_weights: [V, J]
+    Returns (verts [B, V, 3], joints [B, J, 3]).
+    """
+    B = betas.shape[0]
+    J = len(parents)
+
+    v_shaped = v_template[None] + blend_shapes(betas, shapedirs)
+    joints = vertices2joints(J_regressor, v_shaped)
+
+    rot_mats = aa_to_matrix(pose_aa.reshape(B, J, 3))  # [B, J, 3, 3]
+
+    if posedirs is not None:
+        ident = jnp.eye(3, dtype=v_shaped.dtype)
+        pose_feature = (rot_mats[:, 1:] - ident).reshape(B, -1)  # [B, (J-1)*9]
+        pose_offsets = jnp.matmul(pose_feature, posedirs, precision=_P).reshape(B, -1, 3)
+        v_posed = v_shaped + pose_offsets
+    else:
+        v_posed = v_shaped
+
+    posed_joints, A = batch_rigid_transform(rot_mats, joints, parents)
+
+    # skinning: T[b, v] = sum_j w[v, j] * A[b, j]
+    T = jnp.einsum("vj,bjxy->bvxy", lbs_weights, A, precision=_P)
+    verts = (
+        jnp.einsum("bvxy,bvy->bvx", T[:, :, :3, :3], v_posed, precision=_P)
+        + T[:, :, :3, 3]
+    )
+    return verts, posed_joints
