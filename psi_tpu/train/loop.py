@@ -1,0 +1,181 @@
+"""Training loop: jit-compiled train step + the TrainOP driver.
+
+Rebuild of the reference's TrainOP (source/train_s1.py:38-338 /
+train_s2.py): same epoch structure, checkpoint cadence (every 2 wall
+hours and every 10 epochs), resume-from-newest, and per-step loss
+printout — but the step itself is one donated, jit-compiled XLA
+program, optionally SPMD over a device mesh (batch sharded on 'dp',
+gradients all-reduced over ICI by XLA).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from psi_tpu.models import HumanCVAES1, HumanCVAES2
+from psi_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from psi_tpu.train.checkpoint import load_newest_checkpoint, save_checkpoint
+from psi_tpu.train.objective import SceneAssets, cvae_loss
+from psi_tpu.utils.config import LossConfig, TrainConfig
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def build_model(cfg: TrainConfig):
+    if cfg.model_type == "s1":
+        return HumanCVAES1(latentD=cfg.latentD, n_dim_body=cfg.n_dim_body)
+    if cfg.model_type == "s2":
+        return HumanCVAES2(latentD_g=cfg.latentD, latentD_l=cfg.latentD, n_dim_body=cfg.n_dim_body)
+    raise ValueError(f"unknown model_type {cfg.model_type}")
+
+
+def init_state(model, cfg: TrainConfig, optimizer, key) -> TrainState:
+    variables = model.init(
+        key, jnp.zeros((1, cfg.n_dim_body)), jnp.zeros((1, 128, 128, 2)), train=False
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=optimizer.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(
+    model,
+    optimizer,
+    assets: SceneAssets,
+    loss_cfg: LossConfig,
+    model_type: str,
+) -> Callable:
+    """Returns jitted step(state, batch, key, fca, f_scene) -> (state, metrics)."""
+
+    def loss_fn(params, batch_stats, batch, key, fca, f_scene):
+        variables = {"params": params, "batch_stats": batch_stats}
+        total, metrics, new_state = cvae_loss(
+            model, variables, batch, assets, key, fca, f_scene, loss_cfg,
+            model_type=model_type, train=True,
+        )
+        return total, (metrics, new_state["batch_stats"] if new_state else batch_stats)
+
+    def step(state: TrainState, batch, key, fca, f_scene):
+        (_, (metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, key, fca, f_scene
+        )
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(new_params, new_bs, new_opt, state.step + 1),
+            metrics,
+        )
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+class TrainOP:
+    """End-to-end training driver (TrainOP parity, train_s1.py:38-338)."""
+
+    def __init__(
+        self,
+        cfg: TrainConfig,
+        loss_cfg: LossConfig,
+        assets: SceneAssets,
+        mesh=None,
+    ):
+        self.cfg = cfg
+        self.loss_cfg = loss_cfg
+        self.assets = assets
+        self.model = build_model(cfg)
+        if cfg.grad_clip_norm is not None:
+            self.optimizer = optax.chain(
+                optax.clip_by_global_norm(cfg.grad_clip_norm), optax.adam(cfg.init_lr_h)
+            )
+        else:
+            self.optimizer = optax.adam(cfg.init_lr_h)
+        self.mesh = mesh
+        key = jax.random.PRNGKey(cfg.seed)
+        self.state = init_state(self.model, cfg, self.optimizer, key)
+        if mesh is not None:
+            self.state = replicate(self.state, mesh)
+            self.assets = replicate(self.assets, mesh)
+        self.step_fn = make_train_step(
+            self.model, self.optimizer, self.assets, loss_cfg, cfg.model_type
+        )
+        self._key = jax.random.PRNGKey(cfg.seed + 1)
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def train(self, batch_gen, log_fn: Optional[Callable[[str], None]] = None) -> Dict[str, float]:
+        """batch_gen: iterable protocol matching the data layer
+        (has_next_batch / next_batch / reset, SURVEY.md §2 #10)."""
+        cfg = self.cfg
+        log = log_fn or (print if cfg.verbose else (lambda *_: None))
+
+        starting_ep = 0
+        if cfg.resume_training:
+            restored = load_newest_checkpoint(cfg.save_dir, self.state)
+            if restored is not None:
+                self.state = restored["state"]
+                starting_ep = restored["epoch"]
+                log(f"[INFO] --resuming training from {restored['path']}")
+
+        last_metrics: Dict[str, float] = {}
+        start_time = time.time()
+        for ep in range(starting_ep, cfg.epoch):
+            # epoch-dependent gates (train_s1.py:123-128, 171-177, 200-204)
+            fca = 1.0
+            if self.loss_cfg.loss_weight_anealing:
+                fca = min(1.0, max(float(ep) / (cfg.epoch * 0.75), 0.0))
+            f_scene = 1.0 if ep > 0.75 * cfg.epoch else 0.0
+            fca_arr = jnp.float32(fca)
+            fs_arr = jnp.float32(f_scene)
+
+            while batch_gen.has_next_batch():
+                batch = batch_gen.next_batch(cfg.batch_size)
+                if batch is None:
+                    continue
+                if self.mesh is not None:
+                    batch = shard_batch(batch, self.mesh)
+                self.state, metrics = self.step_fn(
+                    self.state, batch, self._next_key(), fca_arr, fs_arr
+                )
+                last_metrics = {k: float(v) for k, v in metrics.items()}
+                if cfg.verbose:
+                    log(
+                        "---in [epoch {:d}]: rec_t={:f}, rec_p={:f}, kl={:f}, vp={:f}, "
+                        "contact={:f}, collision={:f}".format(
+                            ep + 1,
+                            last_metrics["rec_t"],
+                            last_metrics["rec_p"],
+                            last_metrics["kl"],
+                            last_metrics["vposer"],
+                            last_metrics["contact"],
+                            last_metrics["collision"],
+                        )
+                    )
+                if (time.time() - start_time) / 3600.0 >= cfg.saving_per_hours:
+                    start_time = time.time()
+                    save_checkpoint(cfg.save_dir, ep + 1, self.state)
+            batch_gen.reset()
+
+            if (ep + 1) % cfg.saving_per_epochs == 0:
+                save_checkpoint(cfg.save_dir, ep + 1, self.state)
+
+        log("[INFO]: Training completes!")
+        return last_metrics

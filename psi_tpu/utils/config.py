@@ -1,0 +1,88 @@
+"""Configuration dataclasses — one typed tree replacing the reference's
+three config mechanisms (argparse + setattr'd dicts + .ini files,
+reference: source/train_s1.py:345-423). CLI overrides map 1:1 onto the
+reference's flags (see psi_tpu.cli).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Loss weights (reference train_s1.py:416-423, train_js.sh:9-27)."""
+
+    weight_loss_rec_h: float = 1.0
+    weight_loss_vposer: float = 1e-3
+    weight_loss_kl: float = 0.1
+    weight_contact: float = 1e-2
+    weight_collision: float = 1e-1
+    loss_weight_anealing: bool = True  # reference spelling kept in CLI
+    contact_denom_offset: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training loop configuration (reference train_s1.py:392-413)."""
+
+    model_type: str = "s1"  # 's1' | 's2'
+    batch_size: int = 32
+    epoch: int = 30
+    init_lr_h: float = 3e-4
+    latentD: int = 256
+    use_cont_rot: bool = True
+    save_dir: str = "checkpoints"
+    resume_training: bool = True
+    saving_per_hours: float = 2.0  # wall-clock checkpoint cadence (train_s1.py:303-310)
+    saving_per_epochs: int = 10  # epoch checkpoint cadence (train_s1.py:316-321)
+    contact_part: Tuple[str, ...] = (
+        "back", "butt", "L_Hand", "R_Hand", "L_Leg", "R_Leg", "thighs",
+    )
+    verbose: bool = True
+    seed: int = 0
+    # data paths (None -> synthetic fixture)
+    train_data_path: Optional[str] = None
+    scene_verts_path: Optional[str] = None
+    scene_sdf_path: Optional[str] = None
+    human_model_path: Optional[str] = None
+    vposer_ckpt_path: Optional[str] = None
+    contact_id_folder: Optional[str] = None
+    scene_model_ckpt: Optional[str] = None
+    # optimizer robustness (off by default = reference parity; the raw
+    # Adam + exp(logvar) KL objective can spike early in training)
+    grad_clip_norm: Optional[float] = None
+    # parallelism
+    num_devices: Optional[int] = None  # None -> all available
+
+    @property
+    def n_dim_body(self) -> int:
+        return 75 if self.use_cont_rot else 72
+
+
+@dataclasses.dataclass(frozen=True)
+class FitConfig:
+    """Fitting refinement configuration (reference fitting_proxe.py:227-247)."""
+
+    init_lr_h: float = 0.1
+    num_iter: int = 20
+    weight_loss_rec: float = 1.0
+    weight_loss_vposer: float = 0.01
+    weight_contact: float = 0.1
+    weight_collision: float = 0.5
+    contact_denom_offset: float = 0.01  # 1.0 for habitat (fitting_habitat.py:141)
+
+
+def save_config(cfg, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
+
+
+def load_config(cls, path: str):
+    with open(path) as f:
+        d = json.load(f)
+    if "contact_part" in d and isinstance(d["contact_part"], list):
+        d["contact_part"] = tuple(d["contact_part"])
+    return cls(**d)
