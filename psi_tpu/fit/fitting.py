@@ -1,0 +1,182 @@
+"""Scene-aware fitting refinement — the throughput-critical path.
+
+Rebuild of FittingOP (reference: source/fitting_proxe.py:42-263,
+fitting_habitat.py): refine each generated body against the scene with
+Adam over  L1-to-initial + VPoser-z^2 + Chamfer contact + SDF
+penetration.
+
+TPU-native design: the reference optimizes ONE body at a time
+(batch_size=1, fitting_proxe.py:234) with a fresh autograd graph per
+iteration, looping over up to 10k pickle files from Python. Here the
+entire population is a single jit program:
+
+    x_fitted = jit( lax.scan(adam_step, ...) )   over  [N, 75] bodies
+
+with per-body loss terms (each body's parameters only touch its own
+term, so summing is gradient-identical to N independent runs). N
+bodies x num_iter Adam steps execute with zero host round-trips; the
+population axis shards over a device mesh for multi-chip scale-out.
+
+Semantics notes vs. the reference:
+* The reference re-uses one Adam optimizer across bodies, carrying
+  moment state from the previous body into the next
+  (fitting_proxe.py:73-74,175). Here optimizer state starts fresh per
+  population — the cleaner semantics; parity impact is confined to the
+  first iterations and is measured in tests rather than replicated.
+* Collision/contact means are per-body (batch=1 in the reference makes
+  its batch-mean a per-body mean).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import pickle
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from psi_tpu.body.decode import body_vec_to_verts
+from psi_tpu.geometry.bodyvec import convert_to_3D_rot, convert_to_6D_rot
+from psi_tpu.losses.terms import contact_robust_loss
+from psi_tpu.ops.chamfer import chamfer_one_sided
+from psi_tpu.ops.sdf import sdf_trilinear_stacked
+from psi_tpu.train.objective import SceneAssets
+from psi_tpu.utils.config import FitConfig
+
+
+def _per_body_losses(
+    assets: SceneAssets,
+    xhr: jax.Array,  # [N, 75]
+    xhr_init: jax.Array,  # [N, 75]
+    cam_ext: jax.Array,  # [N, 4, 4]
+    scene_idx: jax.Array,  # [N]
+    cfg: FitConfig,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Summed loss with per-body term semantics (fitting_proxe.py:101-162)."""
+    n = xhr.shape[0]
+    loss_rec = cfg.weight_loss_rec * jnp.mean(jnp.abs(xhr - xhr_init), axis=1)  # [N]
+
+    xh = convert_to_3D_rot(xhr)  # [N, 72]
+    loss_vposer = cfg.weight_loss_vposer * jnp.mean(xh[:, 16:48] ** 2, axis=1)
+
+    verts, _ = body_vec_to_verts(assets.smplx, assets.vposer_params, xh, cam_ext)
+    contact_verts = verts[:, assets.contact_vids, :]
+    scene_pts = assets.scene_verts[scene_idx]
+    d1 = chamfer_one_sided(contact_verts, scene_pts)  # [N, C]
+    s = jnp.sqrt(d1 + 1e-4)
+    loss_contact = cfg.weight_contact * jnp.mean(s / (s + cfg.contact_denom_offset), axis=1)
+
+    body_sdf = sdf_trilinear_stacked(
+        assets.sdf_stack, scene_idx, verts, assets.grid_mins, assets.grid_maxs
+    )  # [N, V]
+    neg = jnp.minimum(body_sdf, 0.0)
+    cnt = jnp.maximum(jnp.sum(body_sdf < 0, axis=1), 1).astype(xhr.dtype)
+    loss_collision = cfg.weight_collision * (-jnp.sum(neg, axis=1) / cnt)
+
+    per_body = loss_rec + loss_vposer + loss_contact + loss_collision
+    metrics = {
+        "rec": loss_rec,
+        "vposer": loss_vposer,
+        "contact": loss_contact,
+        "collision": loss_collision,
+        "total": per_body,
+    }
+    return jnp.sum(per_body), metrics
+
+
+def make_fit_step(assets: SceneAssets, cfg: FitConfig):
+    """Returns jitted fit(x72_init [N,72], cam_ext [N,4,4], scene_idx [N])
+    -> (x72_fitted [N,72], final per-body metrics)."""
+    opt = optax.adam(cfg.init_lr_h)
+
+    @jax.jit
+    def fit(x72_init, cam_ext, scene_idx):
+        xhr_init = convert_to_6D_rot(x72_init)
+
+        def loss_fn(xhr):
+            return _per_body_losses(assets, xhr, xhr_init, cam_ext, scene_idx, cfg)
+
+        def step(carry, _):
+            xhr, opt_state = carry
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(xhr)
+            updates, opt_state = opt.update(grads, opt_state, xhr)
+            xhr = optax.apply_updates(xhr, updates)
+            return (xhr, opt_state), metrics["total"]
+
+        init = (xhr_init, opt.init(xhr_init))
+        (xhr, _), loss_hist = jax.lax.scan(step, init, None, length=cfg.num_iter)
+        _, final_metrics = loss_fn(xhr)
+        return convert_to_3D_rot(xhr), final_metrics, loss_hist
+
+    return fit
+
+
+def fit_bodies(
+    assets: SceneAssets,
+    x72_init: jax.Array,
+    cam_ext: jax.Array,
+    scene_idx: jax.Array,
+    cfg: Optional[FitConfig] = None,
+):
+    """One-shot convenience wrapper around make_fit_step."""
+    cfg = cfg or FitConfig()
+    return make_fit_step(assets, cfg)(x72_init, cam_ext, scene_idx)
+
+
+class FittingOP:
+    """File-driven driver with reference-compatible pickle IO
+    (fitting_proxe.py:167-263): reads body_gen_*.pkl dicts, fits the
+    whole population in one program, writes refined pickles.
+    """
+
+    def __init__(self, assets: SceneAssets, cfg: FitConfig, scene_idx: int, verbose: bool = False):
+        self.assets = assets
+        self.cfg = cfg
+        self.scene_idx = scene_idx
+        self.verbose = verbose
+        self._fit = make_fit_step(assets, cfg)
+
+    def fit_population(self, x72: np.ndarray, cam_ext: np.ndarray):
+        n = x72.shape[0]
+        scene_idx = jnp.full((n,), self.scene_idx, jnp.int32)
+        x_fitted, metrics, hist = self._fit(
+            jnp.asarray(x72), jnp.asarray(cam_ext), scene_idx
+        )
+        return np.asarray(x_fitted), {k: np.asarray(v) for k, v in metrics.items()}
+
+    def fitting_files(self, gen_dir: str, fit_dir: str, max_files: int = 1200) -> int:
+        """Batch-read body_gen_{i:06d}.pkl, fit all at once, write results.
+        Skips outputs that already exist (idempotent resume,
+        fitting_proxe.py:257-260). Returns number fitted."""
+        from psi_tpu.geometry.bodyvec import body_params_parse
+
+        items = []
+        for ii in range(max_files):
+            inp = os.path.join(gen_dir, f"body_gen_{ii:06d}.pkl")
+            out = os.path.join(fit_dir, f"body_gen_{ii:06d}.pkl")
+            if not os.path.exists(inp) or os.path.exists(out):
+                continue
+            with open(inp, "rb") as f:
+                d = pickle.load(f)
+            items.append((ii, d))
+        if not items:
+            return 0
+
+        x72 = np.concatenate([np.asarray(body_params_parse(d)) for _, d in items], axis=0)
+        cam_ext = np.concatenate([np.asarray(d["cam_ext"], np.float32).reshape(1, 4, 4) for _, d in items])
+        x_fitted, _ = self.fit_population(x72, cam_ext)
+
+        os.makedirs(fit_dir, exist_ok=True)
+        from psi_tpu.geometry.bodyvec import body_params_encapsulate_list
+
+        out_list = body_params_encapsulate_list(x_fitted)
+        for (ii, d), rec in zip(items, out_list):
+            rec["cam_ext"] = np.asarray(d["cam_ext"])
+            rec["cam_int"] = np.asarray(d.get("cam_int"))
+            with open(os.path.join(fit_dir, f"body_gen_{ii:06d}.pkl"), "wb") as f:
+                pickle.dump(rec, f)
+        return len(items)

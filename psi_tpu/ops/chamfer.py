@@ -235,6 +235,53 @@ def chamfer_distance(
     return _chamfer(x.astype(jnp.float32), y.astype(jnp.float32), implementation)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _chamfer_one(x: jax.Array, y: jax.Array, implementation: str):
+    if implementation == "pallas" or (implementation == "auto" and _on_tpu()):
+        interpret = implementation == "pallas" and not _on_tpu()
+        d1, _ = _nn_direction_pallas(x, y, interpret)
+        return d1
+    d1, _ = jax.vmap(_nn_one)(x, y)
+    return d1
+
+
+def _chamfer_one_fwd(x, y, implementation):
+    if implementation == "pallas" or (implementation == "auto" and _on_tpu()):
+        interpret = implementation == "pallas" and not _on_tpu()
+        d1, i1 = _nn_direction_pallas(x, y, interpret)
+    else:
+        d1, i1 = jax.vmap(_nn_one)(x, y)
+    return d1, (x, y, i1)
+
+
+def _chamfer_one_bwd(implementation, res, g1):
+    x, y, i1 = res
+
+    def one(x, y, i1, g1):
+        diff1 = x - y[i1]
+        gx = 2.0 * g1[:, None] * diff1
+        gy = jnp.zeros_like(y).at[i1].add(-2.0 * g1[:, None] * diff1)
+        return gx, gy
+
+    return jax.vmap(one)(x, y, i1, g1)
+
+
+_chamfer_one.defvjp(_chamfer_one_fwd, _chamfer_one_bwd)
+
+
+def chamfer_one_sided(
+    x: jax.Array, y: jax.Array, *, implementation: str = "auto"
+) -> jax.Array:
+    """Squared NN distance x -> y only: [B, N, 3] x [B, M, 3] -> [B, N].
+
+    Half the cost of chamfer_distance when (as in every PSI loss,
+    train_s1.py:165-169, fitting_proxe.py:136-139) only dist1 is
+    consumed. Gradients flow to both clouds, identically to the
+    two-sided op's dist1 path.
+    """
+    return _chamfer_one(x.astype(jnp.float32), y.astype(jnp.float32), implementation)
+
+
 def chamfer_with_idx(
     x: jax.Array, y: jax.Array, *, implementation: str = "auto"
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:

@@ -38,7 +38,7 @@ from psi_tpu.losses.terms import (
     l1_loss,
     vposer_reg_loss,
 )
-from psi_tpu.ops.chamfer import chamfer_distance
+from psi_tpu.ops.chamfer import chamfer_one_sided
 from psi_tpu.ops.sdf import sdf_trilinear_stacked
 from psi_tpu.utils.config import LossConfig
 
@@ -70,7 +70,8 @@ def scene_geometry_losses(
     verts, _ = body_vec_to_verts(assets.smplx, assets.vposer_params, xh_rec, cam_ext)
     contact_verts = verts[:, assets.contact_vids, :]
     scene_pts = assets.scene_verts[scene_idx]  # [B, P, 3]
-    d1, _ = chamfer_distance(contact_verts, scene_pts)
+    # only the body->scene direction enters the loss (train_s1.py:165-169)
+    d1 = chamfer_one_sided(contact_verts, scene_pts)
     loss_contact = contact_robust_loss(d1, contact_denom_offset)
 
     body_sdf = sdf_trilinear_stacked(
