@@ -43,7 +43,10 @@ def build_model(cfg: TrainConfig):
 
 def init_state(model, cfg: TrainConfig, optimizer, key) -> TrainState:
     variables = model.init(
-        key, jnp.zeros((1, cfg.n_dim_body)), jnp.zeros((1, 128, 128, 2)), train=False
+        key,
+        jnp.zeros((1, cfg.n_dim_body)),
+        jnp.zeros((1, cfg.image_size, cfg.image_size, 2)),
+        train=False,
     )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})

@@ -29,6 +29,7 @@ class TrainConfig:
     """Training loop configuration (reference train_s1.py:392-413)."""
 
     model_type: str = "s1"  # 's1' | 's2'
+    image_size: int = 128  # snapshot canvas side (batch_gen_hdf5.py:359)
     batch_size: int = 32
     epoch: int = 30
     init_lr_h: float = 3e-4
