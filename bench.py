@@ -1,0 +1,154 @@
+"""Headline benchmark: bodies sampled + fitted per second per chip.
+
+The reference pipeline (test_proxe_s1.py -> fitting_proxe.py) samples
+CVAE bodies for a scene and refines each with 20 Adam iterations of
+scene-aware losses. This bench runs the TPU-native rebuild at full
+model scale on synthetic assets (SMPL-X-sized body: 10475 verts / 55
+joints; 20k-point scene cloud; 128^3 SDF; 1455 contact verts) and
+divides by a freshly-measured reference-semantics torch-CPU baseline
+(see psi_tpu/bench/torch_baseline.py; cached in BENCH_BASELINE.json).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "bodies/s", "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N_BODIES = 256
+NUM_ITER = 20  # fitting_proxe.py:233
+N_CONTACT = 1455
+SCENE_POINTS = 20000
+SDF_DIM = 128
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
+
+
+def measure_tpu() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from psi_tpu.data.synthetic import SyntheticBatchGenerator, make_synthetic_assets
+    from psi_tpu.fit.fitting import make_fit_step
+    from psi_tpu.gen.sample import generate_bodies
+    from psi_tpu.models import HumanCVAES1
+    from psi_tpu.utils.config import FitConfig
+
+    assets, _ = make_synthetic_assets(
+        num_verts=10475, num_joints=55, num_scenes=4, sdf_dim=SDF_DIM,
+        scene_points=SCENE_POINTS, n_contact=N_CONTACT, seed=0,
+    )
+    model = HumanCVAES1(latentD=256)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 75)), jnp.zeros((1, 128, 128, 2))
+    )
+    gen = SyntheticBatchGenerator(num_scenes=4, batches_per_epoch=1, seed=0)
+    b = gen.next_batch(1)
+    xs = jnp.asarray(b["xs"])
+    cam_int = jnp.asarray(b["cam_int"])
+    max_d = jnp.asarray(b["max_d"])
+    cam_ext = jnp.asarray(np.tile(b["cam_ext"][0][None], (N_BODIES, 1, 1)))
+    scene_idx = jnp.zeros((N_BODIES,), jnp.int32)
+
+    fit = make_fit_step(assets, FitConfig(num_iter=NUM_ITER))
+
+    def pipeline(key):
+        x72 = generate_bodies(model, variables, xs, cam_int, max_d, N_BODIES, key)
+        x_fitted, metrics, _ = fit(x72, cam_ext, scene_idx)
+        return x_fitted
+
+    # warmup / compile
+    out = pipeline(jax.random.PRNGKey(1))
+    out.block_until_ready()
+
+    reps = 3
+    t0 = time.time()
+    for i in range(reps):
+        out = pipeline(jax.random.PRNGKey(2 + i))
+    out.block_until_ready()
+    dt = (time.time() - t0) / reps
+    return N_BODIES / dt
+
+
+def measure_cpu_baseline() -> float:
+    """Reference-semantics torch CPU rate; measured once and cached."""
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            d = json.load(f)
+        if d.get("n_contact") == N_CONTACT and d.get("scene_points") == SCENE_POINTS:
+            return float(d["cpu_bodies_per_sec"])
+
+    from psi_tpu.bench.torch_baseline import measure_torch_baseline
+    from psi_tpu.body.smplx_model import synthetic_smplx
+    from psi_tpu.data.scenes import synthetic_scene_registry
+    from psi_tpu.geometry.contact import synthetic_contact_ids
+
+    m = synthetic_smplx(num_verts=10475, num_joints=55, seed=0)
+    reg = synthetic_scene_registry(num_scenes=1, dim=SDF_DIM, num_verts=SCENE_POINTS, seed=0)
+    smplx_np = {
+        "v_template": np.asarray(m.v_template),
+        "shapedirs": np.asarray(m.shapedirs),
+        "posedirs": np.asarray(m.posedirs) if m.posedirs is not None else None,
+        "J_regressor": np.asarray(m.J_regressor),
+        "lbs_weights": np.asarray(m.lbs_weights),
+        "parents": np.asarray(m.parents),
+    }
+    # keep wall time bounded: 1 body, 3 iters, extrapolate linearly to NUM_ITER
+    import torch
+
+    short_iter = 3
+    t0 = time.time()
+    rate_short = measure_torch_baseline(
+        smplx_np,
+        contact_ids=synthetic_contact_ids(10475, N_CONTACT),
+        scene_verts=reg.verts_stack[0, : reg.n_verts[0]],
+        sdf=reg.sdf_stack[0],
+        grid_min=reg.grid_mins[0],
+        grid_max=reg.grid_maxs[0],
+        n_bodies=1,
+        num_iter=short_iter,
+    )
+    # rate_short used (1 sample + short_iter iters); scale fit part to NUM_ITER
+    per_body_short = 1.0 / rate_short
+    per_iter = per_body_short / (short_iter + 1)  # +1 ~ sample+overhead share
+    per_body_full = per_iter * (NUM_ITER + 1)
+    rate = 1.0 / per_body_full
+
+    with open(BASELINE_FILE, "w") as f:
+        json.dump(
+            {
+                "cpu_bodies_per_sec": rate,
+                "n_contact": N_CONTACT,
+                "scene_points": SCENE_POINTS,
+                "sdf_dim": SDF_DIM,
+                "num_iter": NUM_ITER,
+                "short_iter_measured": short_iter,
+                "torch_threads": torch.get_num_threads(),
+                "measured_wall_s": time.time() - t0,
+            },
+            f,
+            indent=2,
+        )
+    return rate
+
+
+def main():
+    cpu_rate = measure_cpu_baseline()
+    tpu_rate = measure_tpu()
+    print(
+        json.dumps(
+            {
+                "metric": "bodies_sampled_fitted_per_sec",
+                "value": round(tpu_rate, 2),
+                "unit": "bodies/s",
+                "vs_baseline": round(tpu_rate / cpu_rate, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
