@@ -1,0 +1,84 @@
+"""Fitting CLI — PROX-E and MP3D-R refinement drivers.
+
+Reference surface: ``python fitting_proxe.py <gen_path> <fit_path>``
+(fitting_proxe.py:217-263, 4 test scenes x <=1200 pkls, 20 iters) and
+``fitting_habitat.py`` (7 rooms x <=10000 pkls, 50 iters, contact
+denominator 1.0). Here each scene's whole population is fitted as one
+jit program.
+
+  python -m psi_tpu.cli.fitting <gen_path> <fit_path> \
+      [--dataset proxe|habitat] [--proxe_path ... | --synthetic]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+MP3D_ROOMS = ["17DRP5sb8fy-bedroom", "17DRP5sb8fy-familyroomlounge",
+              "17DRP5sb8fy-livingroom", "X7HyMhZNoso-livingroom_16",
+              "zsNo4HB9uLZ-bedroom0_0", "zsNo4HB9uLZ-livingroom0_13",
+              "X7HyMhZNoso-16"]  # 7 rooms (test_habitat_s1.py / BASELINE.md)
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("gen_path", type=str)
+    p.add_argument("fit_path", type=str)
+    p.add_argument("--dataset", type=str, default="proxe", choices=["proxe", "habitat"])
+    p.add_argument("--num_iter", type=int, default=None, help="default: 20 proxe / 50 habitat")
+    p.add_argument("--max_files", type=int, default=None, help="default: 1200 proxe / 10000 habitat")
+    p.add_argument("--lr", type=float, default=0.1)
+    from psi_tpu.cli.common import add_asset_args
+
+    add_asset_args(p)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from psi_tpu.data.hdf5 import PROX_TEST_SCENES
+    from psi_tpu.fit import FittingOP
+    from psi_tpu.utils.config import FitConfig
+    from psi_tpu.cli.common import build_assets
+
+    if args.dataset == "proxe":
+        scenes = PROX_TEST_SCENES
+        cfg = FitConfig(
+            init_lr_h=args.lr,
+            num_iter=args.num_iter or 20,
+            contact_denom_offset=0.01,  # fitting_proxe.py:139
+            weight_loss_rec=1.0, weight_loss_vposer=0.01,
+            weight_contact=0.1, weight_collision=0.5,
+        )
+        max_files = args.max_files or 1200
+    else:
+        scenes = MP3D_ROOMS
+        cfg = FitConfig(
+            init_lr_h=args.lr,
+            num_iter=args.num_iter or 50,  # fitting_habitat.py:253
+            contact_denom_offset=1.0,  # fitting_habitat.py:141
+            weight_loss_rec=1.0, weight_loss_vposer=0.01,
+            weight_contact=0.1, weight_collision=0.5,
+        )
+        max_files = args.max_files or 10000
+
+    assets, registry = build_assets(args, scene_names=scenes if not args.synthetic else None)
+
+    total = 0
+    for si, scene in enumerate(scenes):
+        gen_dir = os.path.join(args.gen_path, scene)
+        if not os.path.isdir(gen_dir):
+            continue
+        scene_idx = registry.index_of(scene) if scene in registry.names else si % registry.num_scenes
+        op = FittingOP(assets, cfg, scene_idx=scene_idx)
+        n = op.fitting_files(gen_dir, os.path.join(args.fit_path, scene), max_files=max_files)
+        print(f"[INFO] {scene}: fitted {n} bodies")
+        total += n
+    print(f"[INFO] fitting finish: {total} bodies total")
+
+
+if __name__ == "__main__":
+    main()
