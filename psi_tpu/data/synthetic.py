@@ -35,13 +35,21 @@ def make_assets(
     vposer_params,
     contact_vids: np.ndarray,
     registry: SceneRegistry,
+    sdf_dtype=None,
 ) -> SceneAssets:
+    """sdf_dtype: pack the SDF corner grid in this dtype (e.g. jnp.bfloat16
+    to halve HBM for large registries; lerp still accumulates f32)."""
+    from psi_tpu.ops.sdf import pack_sdf_corners
+
     sdf, gmin, gmax, verts = registry_to_device(registry)
+    packed = pack_sdf_corners(sdf)
+    if sdf_dtype is not None:
+        packed = packed.astype(sdf_dtype)
     return SceneAssets(
         smplx=smplx,
         vposer_params=vposer_params,
         contact_vids=jnp.asarray(contact_vids),
-        sdf_stack=sdf,
+        sdf_packed=packed,
         grid_mins=gmin,
         grid_maxs=gmax,
         scene_verts=verts,

@@ -16,15 +16,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from psi_tpu.body.decode import body_vec_to_verts
-from psi_tpu.ops.sdf import sdf_trilinear_stacked
+from psi_tpu.ops.sdf import sdf_trilinear_packed
 from psi_tpu.train.objective import SceneAssets
 
 
 @jax.jit
 def _scores(assets: SceneAssets, x72: jax.Array, cam_ext: jax.Array, scene_idx: jax.Array):
     verts, _ = body_vec_to_verts(assets.smplx, assets.vposer_params, x72, cam_ext)
-    sdf = sdf_trilinear_stacked(
-        assets.sdf_stack, scene_idx, verts, assets.grid_mins, assets.grid_maxs
+    sdf = sdf_trilinear_packed(
+        assets.sdf_packed, scene_idx, verts, assets.grid_mins, assets.grid_maxs
     )  # [N, V]
     non_collision = jnp.mean((sdf > 0).astype(jnp.float32), axis=1)  # [N]
     contact = (jnp.sum((sdf < 0).astype(jnp.float32), axis=1) > 0).astype(jnp.float32)

@@ -43,7 +43,7 @@ from psi_tpu.body.decode import body_vec_to_verts
 from psi_tpu.geometry.bodyvec import convert_to_3D_rot, convert_to_6D_rot
 from psi_tpu.losses.terms import contact_robust_loss
 from psi_tpu.ops.chamfer import chamfer_one_sided
-from psi_tpu.ops.sdf import sdf_trilinear_stacked
+from psi_tpu.ops.sdf import sdf_trilinear_packed
 from psi_tpu.train.objective import SceneAssets
 from psi_tpu.utils.config import FitConfig
 
@@ -70,8 +70,8 @@ def _per_body_losses(
     s = jnp.sqrt(d1 + 1e-4)
     loss_contact = cfg.weight_contact * jnp.mean(s / (s + cfg.contact_denom_offset), axis=1)
 
-    body_sdf = sdf_trilinear_stacked(
-        assets.sdf_stack, scene_idx, verts, assets.grid_mins, assets.grid_maxs
+    body_sdf = sdf_trilinear_packed(
+        assets.sdf_packed, scene_idx, verts, assets.grid_mins, assets.grid_maxs
     )  # [N, V]
     neg = jnp.minimum(body_sdf, 0.0)
     cnt = jnp.maximum(jnp.sum(body_sdf < 0, axis=1), 1).astype(xhr.dtype)

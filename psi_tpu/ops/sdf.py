@@ -188,6 +188,66 @@ def sdf_trilinear_stacked(
     return c0 * (1 - wx) + c1 * wx
 
 
+def pack_sdf_corners(sdf_stack: jax.Array) -> jax.Array:
+    """[S, D, H, W] -> [S, D, H, W, 8] with the 2x2x2 corner block of each
+    cell packed into the contiguous minor axis (edge-clamped).
+
+    TPU gathers fetch one row per index; fetching the 8 trilinear
+    corners as ONE 8-float row instead of 8 scalar gathers cuts the
+    gather count (the SDF lookup bottleneck) 8x. Channel c = dx*4+dy*2+dz.
+    """
+    out = []
+    for dx in (0, 1):
+        sx = jnp.concatenate([sdf_stack[:, dx:], sdf_stack[:, -1:]], axis=1) if dx else sdf_stack
+        for dy in (0, 1):
+            sy = jnp.concatenate([sx[:, :, dy:], sx[:, :, -1:]], axis=2) if dy else sx
+            for dz in (0, 1):
+                sz = jnp.concatenate([sy[:, :, :, dz:], sy[:, :, :, -1:]], axis=3) if dz else sy
+                out.append(sz)
+    return jnp.stack(out, axis=-1)
+
+
+def sdf_trilinear_packed(
+    sdf_packed: jax.Array,
+    scene_idx: jax.Array,
+    points: jax.Array,
+    grid_mins: jax.Array,
+    grid_maxs: jax.Array,
+) -> jax.Array:
+    """Same function as sdf_trilinear_stacked, one gather per point.
+
+    sdf_packed: [S, D, H, W, 8] from pack_sdf_corners.
+    """
+    S, D, H, W, _ = sdf_packed.shape
+    gmin = grid_mins[scene_idx]
+    gmax = grid_maxs[scene_idx]
+    norm = (points - gmin[:, None, :]) / (gmax[:, None, :] - gmin[:, None, :]) * 2.0 - 1.0
+    cx = _unnormalize(norm[..., 0], D)
+    cy = _unnormalize(norm[..., 1], H)
+    cz = _unnormalize(norm[..., 2], W)
+
+    x0 = jnp.floor(cx)
+    y0 = jnp.floor(cy)
+    z0 = jnp.floor(cz)
+    wx = (cx - x0)[..., None]
+    wy = (cy - y0)[..., None]
+    wz = (cz - z0)[..., None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, D - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    z0i = jnp.clip(z0.astype(jnp.int32), 0, W - 1)
+
+    rows = sdf_packed.reshape(-1, 8)
+    base = (scene_idx.astype(jnp.int32) * D)[:, None]
+    flat = ((base + x0i) * H + y0i) * W + z0i
+    c = jnp.take(rows, flat, axis=0)  # [B, N, 8]
+
+    # weights for channel c = dx*4+dy*2+dz
+    w_x = jnp.concatenate([1 - wx, 1 - wx, 1 - wx, 1 - wx, wx, wx, wx, wx], axis=-1)
+    w_y = jnp.concatenate([1 - wy, 1 - wy, wy, wy, 1 - wy, 1 - wy, wy, wy], axis=-1)
+    w_z = jnp.concatenate([1 - wz, wz, 1 - wz, wz, 1 - wz, wz, 1 - wz, wz], axis=-1)
+    return jnp.sum(c * (w_x * w_y * w_z), axis=-1)
+
+
 def sdf_penetration_loss(body_sdf: jax.Array) -> jax.Array:
     """mean |sdf| over penetrating (sdf < 0) vertices; 0 if none.
 

@@ -39,7 +39,7 @@ from psi_tpu.losses.terms import (
     vposer_reg_loss,
 )
 from psi_tpu.ops.chamfer import chamfer_one_sided
-from psi_tpu.ops.sdf import sdf_trilinear_stacked
+from psi_tpu.ops.sdf import sdf_trilinear_packed
 from psi_tpu.utils.config import LossConfig
 
 
@@ -50,7 +50,7 @@ class SceneAssets:
     smplx: SMPLXModel
     vposer_params: Any
     contact_vids: jax.Array  # [C] int32 static contact-vertex indices
-    sdf_stack: jax.Array  # [S, D, D, D]
+    sdf_packed: jax.Array  # [S, D, H, W, 8] corner-packed (ops.sdf.pack_sdf_corners)
     grid_mins: jax.Array  # [S, 3]
     grid_maxs: jax.Array  # [S, 3]
     scene_verts: jax.Array  # [S, P, 3] (padded with far points)
@@ -74,8 +74,8 @@ def scene_geometry_losses(
     d1 = chamfer_one_sided(contact_verts, scene_pts)
     loss_contact = contact_robust_loss(d1, contact_denom_offset)
 
-    body_sdf = sdf_trilinear_stacked(
-        assets.sdf_stack, scene_idx, verts, assets.grid_mins, assets.grid_maxs
+    body_sdf = sdf_trilinear_packed(
+        assets.sdf_packed, scene_idx, verts, assets.grid_mins, assets.grid_maxs
     )
     loss_collision = collision_loss(body_sdf)
     return loss_contact, loss_collision
