@@ -228,6 +228,19 @@ def _convert_sub_vae(sd, prefix, f_dim, n_enc_blocks=2):
     return params, {"scene": scene["batch_stats"]}
 
 
+def load_reference_checkpoint(ckp_path: str, model_type: str = "s1") -> Dict[str, Any]:
+    """Load a reference epoch-*.ckp (torch.save dict with
+    'model_h_state_dict', train_s1.py:306-310) into flax variables."""
+    import torch
+
+    payload = torch.load(ckp_path, map_location="cpu", weights_only=False)
+    sd = payload.get("model_h_state_dict", payload)
+    conv = convert_cvae_s1_state_dict if model_type == "s1" else convert_cvae_s2_state_dict
+    out = conv(sd)
+    out["epoch"] = int(payload.get("epoch", 0))
+    return out
+
+
 def convert_cvae_s2_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     """HumanCVAES2 torch state dict -> flax variables (cvae.py:341-365,
     net_layers.py:47-234)."""
