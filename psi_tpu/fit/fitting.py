@@ -90,11 +90,15 @@ def _per_body_losses(
 
 def make_fit_step(assets: SceneAssets, cfg: FitConfig):
     """Returns jitted fit(x72_init [N,72], cam_ext [N,4,4], scene_idx [N])
-    -> (x72_fitted [N,72], final per-body metrics)."""
+    -> (x72_fitted [N,72], final per-body metrics).
+
+    The asset pytree is a traced *argument* of the jit, not a closure —
+    closed-over arrays become compile-time constants and the packed SDF
+    registry (hundreds of MB) would explode compile time."""
     opt = optax.adam(cfg.init_lr_h)
 
     @jax.jit
-    def fit(x72_init, cam_ext, scene_idx):
+    def fit(assets, x72_init, cam_ext, scene_idx):
         xhr_init = convert_to_6D_rot(x72_init)
 
         def loss_fn(xhr):
@@ -112,7 +116,10 @@ def make_fit_step(assets: SceneAssets, cfg: FitConfig):
         _, final_metrics = loss_fn(xhr)
         return convert_to_3D_rot(xhr), final_metrics, loss_hist
 
-    return fit
+    def bound(x72_init, cam_ext, scene_idx):
+        return fit(assets, x72_init, cam_ext, scene_idx)
+
+    return bound
 
 
 def fit_bodies(

@@ -10,6 +10,7 @@ gradients all-reduced over ICI by XLA).
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Any, Callable, Dict, Optional, Tuple
 
@@ -65,9 +66,13 @@ def make_train_step(
     loss_cfg: LossConfig,
     model_type: str,
 ) -> Callable:
-    """Returns jitted step(state, batch, key, fca, f_scene) -> (state, metrics)."""
+    """Returns jitted step(state, batch, key, fca, f_scene) -> (state, metrics).
 
-    def loss_fn(params, batch_stats, batch, key, fca, f_scene):
+    The asset registry is threaded through as a traced jit argument —
+    closing over it would bake the (potentially huge) SDF grids into the
+    executable as constants."""
+
+    def loss_fn(params, batch_stats, batch, key, fca, f_scene, assets):
         variables = {"params": params, "batch_stats": batch_stats}
         total, metrics, new_state = cvae_loss(
             model, variables, batch, assets, key, fca, f_scene, loss_cfg,
@@ -75,9 +80,10 @@ def make_train_step(
         )
         return total, (metrics, new_state["batch_stats"] if new_state else batch_stats)
 
-    def step(state: TrainState, batch, key, fca, f_scene):
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch, key, fca, f_scene, assets):
         (_, (metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, batch, key, fca, f_scene
+            state.params, state.batch_stats, batch, key, fca, f_scene, assets
         )
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -86,7 +92,10 @@ def make_train_step(
             metrics,
         )
 
-    return jax.jit(step, donate_argnums=(0,))
+    def bound(state, batch, key, fca, f_scene):
+        return step(state, batch, key, fca, f_scene, assets)
+
+    return bound
 
 
 class TrainOP:
