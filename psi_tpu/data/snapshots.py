@@ -205,7 +205,10 @@ def is_body_occluded(
     if cx <= probe or cx > w - probe or cy <= probe or cy > h - probe:
         return True
     patch = depth[max(cy - probe, 0) : cy + probe, max(cx - probe, 0) : cx + probe]
-    return bool(np.mean(patch) <= T[2])
+    valid = patch[patch > 0]  # zero depth = no geometry = nothing to occlude
+    if valid.size == 0:
+        return False
+    return bool(np.mean(valid) <= T[2])
 
 
 # ---------------------------------------------------------------------------
@@ -245,6 +248,100 @@ def render_scene_snapshot(
         "cam_ext": world2cam,
         "cam_int": np.asarray(cam_int, np.float32),
     }
+
+
+def produce_virtualcam_snapshots(
+    scene_verts: np.ndarray,
+    scene_labels: np.ndarray,
+    body_params_list: Sequence[Dict[str, np.ndarray]],
+    smplx: SMPLXModel,
+    vposer_params,
+    writer: "SnapshotHDF5Writer",
+    sceneid: int,
+    cam_int: Optional[np.ndarray] = None,
+    render_hw: Tuple[int, int] = (480, 640),
+    max_cams_per_frame: int = 30,
+    seed: int = 0,
+    planes: Optional[Dict[str, np.ndarray]] = None,
+) -> int:
+    """The virtual-camera snapshot main loop
+    (utils_prox_snapshots_virtualcam.py:390-554): for each body frame,
+    place candidate cameras, re-express the body's global R/T in each
+    camera frame, render depth+semantics, reject occluded views, append
+    to the HDF5. Returns the number of snapshots written."""
+    from psi_tpu.geometry.bodyvec import body_params_parse
+
+    rng = np.random.default_rng(seed)
+    s_min = scene_verts.min(axis=0)
+    s_max = scene_verts.max(axis=0)
+    if planes is None:
+        planes = room_box_planes(s_min, s_max)
+    h, w = render_hw
+    if cam_int is None:
+        f = max(h, w)
+        cam_int = np.array([[f, 0, w / 2.0], [0, f, h / 2.0], [0, 0, 1.0]], np.float32)
+
+    written = 0
+    delta_T = None
+    for body_params in body_params_list:
+        body_T = np.asarray(body_params["transl"]).reshape(3)
+        cams = get_new_cams(
+            planes, s_min, s_max, body_T, rng=rng, max_cams=max_cams_per_frame
+        )
+        if not cams:
+            continue
+        world2cam_list = [np.linalg.inv(c) for c in cams]
+        new_params_list, delta_T = update_globalRT_for_smplx(
+            body_params, world2cam_list, smplx, vposer_params, delta_T=delta_T
+        )
+        for cam2world, world2cam, new_params in zip(cams, world2cam_list, new_params_list):
+            snap = render_scene_snapshot(
+                scene_verts, scene_labels, cam2world, cam_int, height=h, width=w
+            )
+            if is_body_occluded(new_params["transl"], cam_int, snap["depth_raw"]):
+                continue
+            body72 = np.asarray(body_params_parse(new_params)).reshape(72)
+            writer.append(
+                snap["depth"], snap["seg"], body72, snap["cam_ext"],
+                snap["cam_int"], snap["max_d"], sceneid,
+            )
+            written += 1
+    return written
+
+
+def matfiles_to_hdf5(mat_glob_dir: str, out_path: str, scene_name_list: Sequence[str]) -> int:
+    """Pack per-frame snapshot .mat files into the training HDF5
+    (utils_convert2hdf5.py flow): parse, preprocess, reject bad fits.
+    Scene id comes from the filename's leading scene token."""
+    import glob as _glob
+
+    from psi_tpu.data.matfile import load_test_snapshot
+    from psi_tpu.geometry.bodyvec import body_params_parse  # noqa: F401
+
+    writer = SnapshotHDF5Writer(out_path)
+    n = 0
+    for mat in sorted(_glob.glob(os.path.join(mat_glob_dir, "**", "*.mat"), recursive=True)):
+        try:
+            d = load_test_snapshot(mat)
+        except Exception:
+            continue
+        body = d["xh"].reshape(-1)
+        if body.shape[0] < 72 or abs(body[2]) > d["max_d"][0]:
+            continue  # bad PROX fit (utils_convert2hdf5.py:89-99)
+        scene_token = os.path.basename(mat).split("_")[0]
+        parent_token = os.path.basename(os.path.dirname(mat)).split("_")[0]
+        sceneid = 0
+        for tok in (scene_token, parent_token):
+            if tok in scene_name_list:
+                sceneid = scene_name_list.index(tok)
+                break
+        writer.append(
+            d["xs"][0, :, :, 0], d["xs"][0, :, :, 1], body[:72],
+            d["cam_ext"][0], d["cam_int"][0], float(d["max_d"][0]), sceneid,
+        )
+        n += 1
+    writer.close()
+    return n
 
 
 class SnapshotHDF5Writer:
