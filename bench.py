@@ -28,7 +28,11 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_
 
 
 def measure_tpu() -> float:
+    import sys, time as _t
+    _t0=_t.time()
+    def _log(m): print(f"[bench +{_t.time()-_t0:.0f}s] {m}", file=sys.stderr, flush=True)
     import jax
+
     import jax.numpy as jnp
 
     from psi_tpu.data.synthetic import SyntheticBatchGenerator, make_synthetic_assets
@@ -41,6 +45,7 @@ def measure_tpu() -> float:
         num_verts=10475, num_joints=55, num_scenes=4, sdf_dim=SDF_DIM,
         scene_points=SCENE_POINTS, n_contact=N_CONTACT, seed=0,
     )
+    _log("assets built")
     model = HumanCVAES1(latentD=256)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 75)), jnp.zeros((1, 128, 128, 2))
@@ -53,6 +58,7 @@ def measure_tpu() -> float:
     cam_ext = jnp.asarray(np.tile(b["cam_ext"][0][None], (N_BODIES, 1, 1)))
     scene_idx = jnp.zeros((N_BODIES,), jnp.int32)
 
+    _log("model init done")
     fit = make_fit_step(assets, FitConfig(num_iter=NUM_ITER))
 
     def pipeline(key):
@@ -60,9 +66,10 @@ def measure_tpu() -> float:
         x_fitted, metrics, _ = fit(x72, cam_ext, scene_idx)
         return x_fitted
 
-    # warmup / compile
+    _log("starting warmup compile")
     out = pipeline(jax.random.PRNGKey(1))
     out.block_until_ready()
+    _log("warmup done")
 
     reps = 3
     t0 = time.time()
@@ -70,6 +77,7 @@ def measure_tpu() -> float:
         out = pipeline(jax.random.PRNGKey(2 + i))
     out.block_until_ready()
     dt = (time.time() - t0) / reps
+    _log(f"timed {reps} reps, {dt:.2f}s each")
     return N_BODIES / dt
 
 
