@@ -72,33 +72,38 @@ def chamfer_distance_reference(
 # ---------------------------------------------------------------------------
 
 
-def _nn_kernel(xt_ref, yt_ref, dist_ref, idx_ref, *, tile_m: int):
-    """xt_ref: [1, 8, TILE_N] A-coords (rows 0..2 used); yt_ref: [1, 8, M_pad];
-    dist_ref/idx_ref: [1, 8, TILE_N] (result broadcast over the 8-sublane
-    axis to satisfy Mosaic's (8, 128) output-tile alignment)."""
-    xt = xt_ref[0]  # [8, TILE_N]
+def _nn_kernel(xt_ref, yt_ref, y2_ref, idx_ref, *, tile_m: int):
+    """Argmin kernel with a split-bf16 cross term.
+
+    The per-row constant |x_i|^2 cannot change an argmin over j, so the
+    kernel minimizes d'[i,j] = |y_j|^2 - 2 x_i.y_j; exact distances are
+    recomputed outside from the winning index. The cross term x.y runs
+    as ONE default-precision bf16 MXU pass over K=16 with the operands
+    pre-split into high/low bf16 halves arranged as
+    (x_hi, x_lo, x_hi) . (y_hi, y_hi, y_lo): with the f32 MXU
+    accumulator this reproduces f32 products up to the ~2^-16-relative
+    x_lo*y_lo term, at ~3x fewer MXU cycles than a 6-pass f32-HIGHEST
+    dot. (The split itself must use jax.lax.reduce_precision — see
+    _split_cmajor.)
+
+    xt_ref: [1, 16, TILE_N] bf16 split rows; yt_ref: [1, 16, M_pad];
+    y2_ref: [1, 8, M_pad] (row 0 = exact f32 |y|^2);
+    idx_ref: [1, 8, TILE_N] (argmin broadcast over the sublane axis)."""
+    xt = xt_ref[0]  # [16, TILE_N]
     tile_n = xt.shape[-1]
     m_pad = yt_ref.shape[-1]
     num_m_tiles = m_pad // tile_m
-
-    # |a|^2 per column of the A tile: contract the coordinate axis on the MXU.
-    ones = jnp.ones((1, 8), dtype=jnp.float32)
-    x2 = jax.lax.dot_general(
-        ones, xt * xt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
-    )  # [1, TILE_N]
 
     big = jnp.float32(3.0e38)
 
     def body(mi, carry):
         best_d, best_i = carry  # [TILE_N, 1] each
-        yt = yt_ref[0, :, pl.ds(mi * tile_m, tile_m)]  # [8, TILE_M]
-        y2 = jax.lax.dot_general(
-            ones, yt * yt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
-        )  # [1, TILE_M]
+        yt = yt_ref[0, :, pl.ds(mi * tile_m, tile_m)]  # [16, TILE_M]
+        y2 = y2_ref[0, 0:1, pl.ds(mi * tile_m, tile_m)]  # [1, TILE_M]
         prod = jax.lax.dot_general(
-            xt, yt, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+            xt, yt, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # [TILE_N, TILE_M]
-        d = x2.reshape(tile_n, 1) + y2 - 2.0 * prod  # [TILE_N, TILE_M]
+        d = y2 - 2.0 * prod  # [TILE_N, TILE_M]
 
         tile_min = jnp.min(d, axis=1, keepdims=True)  # [TILE_N, 1]
         col = jax.lax.broadcasted_iota(jnp.int32, (tile_n, tile_m), 1) + mi * tile_m
@@ -115,8 +120,7 @@ def _nn_kernel(xt_ref, yt_ref, dist_ref, idx_ref, *, tile_m: int):
         jnp.full((tile_n, 1), big, dtype=jnp.float32),
         jnp.zeros((tile_n, 1), dtype=jnp.int32),
     )
-    best_d, best_i = jax.lax.fori_loop(0, num_m_tiles, body, init)
-    dist_ref[0] = jnp.broadcast_to(best_d.reshape(1, tile_n), (8, tile_n))
+    _, best_i = jax.lax.fori_loop(0, num_m_tiles, body, init)
     idx_ref[0] = jnp.broadcast_to(best_i.reshape(1, tile_n), (8, tile_n))
 
 
@@ -124,43 +128,65 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
+def _split_cmajor(p: jax.Array, size_pad: int, order: str) -> jax.Array:
+    """[B, P, 3] -> [B, 16, size_pad] bf16 split-row tile; far padding.
+
+    order='x' lays rows (hi, lo, hi, 0...), order='y' lays
+    (hi, hi, lo, 0...) so a K=16 contraction of the two yields
+    x_hi.y_hi + x_lo.y_hi + x_hi.y_lo.
+
+    The hi half MUST round through jax.lax.reduce_precision: a plain
+    f32->bf16->f32 cast round-trip is elided by XLA's
+    allow-excess-precision pass, which silently zeroes the lo half."""
+    pad_pts = jnp.full((p.shape[0], size_pad - p.shape[1], 3), _PAD_COORD, p.dtype)
+    p = jnp.concatenate([p, pad_pts], axis=1).astype(jnp.float32)
+    pt = jnp.swapaxes(p, 1, 2)  # [B, 3, P]
+    hi_f = jax.lax.reduce_precision(pt, 8, 7)  # bf16-valued, f32-typed
+    hi = hi_f.astype(jnp.bfloat16)
+    lo = (pt - hi_f).astype(jnp.bfloat16)
+    zeros = jnp.zeros((p.shape[0], 7, size_pad), jnp.bfloat16)
+    rows = [hi, lo, hi] if order == "x" else [hi, hi, lo]
+    return jnp.concatenate(rows + [zeros], axis=1)
+
+
 def _nn_direction_pallas(x: jax.Array, y: jax.Array, interpret: bool) -> Tuple[jax.Array, jax.Array]:
-    """x: [B, N, 3], y: [B, M, 3] -> (dist [B, N], idx [B, N])."""
+    """x: [B, N, 3], y: [B, M, 3] -> (dist [B, N], idx [B, N]).
+
+    The kernel finds the argmin; the (exact, f32) squared distance is
+    recomputed from the winning neighbour with a subtract-square, which
+    is also more accurate near zero than the |x|^2+|y|^2-2xy expansion."""
     B, N, _ = x.shape
     M = y.shape[1]
     n_pad = _round_up(N, _TILE_N)
     m_pad = _round_up(max(M, _TILE_M), _TILE_M)
 
-    # coordinate-major, 8 sublanes (3 coords + zero padding), far-away pads
-    def to_cmajor(p, size_pad):
-        pad_pts = jnp.full((p.shape[0], size_pad - p.shape[1], 3), _PAD_COORD, p.dtype)
-        p = jnp.concatenate([p, pad_pts], axis=1)
-        pt = jnp.swapaxes(p, 1, 2)  # [B, 3, P]
-        zeros = jnp.zeros((p.shape[0], 5, size_pad), p.dtype)
-        return jnp.concatenate([pt, zeros], axis=1).astype(jnp.float32)
+    xt = _split_cmajor(x, n_pad, "x")
+    yt = _split_cmajor(y, m_pad, "y")
 
-    xt = to_cmajor(x, n_pad)
-    yt = to_cmajor(y, m_pad)
+    # exact |y|^2 in f32 (row constant offsets would cancel in the argmin;
+    # the column term must be accurate)
+    pad_pts = jnp.full((B, m_pad - M, 3), _PAD_COORD, y.dtype)
+    y_full = jnp.concatenate([y.astype(jnp.float32), pad_pts], axis=1)
+    y2 = jnp.sum(y_full * y_full, axis=-1)  # [B, m_pad]
+    y2_rows = jnp.broadcast_to(y2[:, None, :], (B, 8, m_pad))
 
     grid = (B, n_pad // _TILE_N)
-    dist, idx = pl.pallas_call(
+    idx = pl.pallas_call(
         functools.partial(_nn_kernel, tile_m=_TILE_M),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 8, _TILE_N), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16, _TILE_N), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16, m_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, m_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 8, _TILE_N), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, _TILE_N), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, 8, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((B, 8, n_pad), jnp.int32),
-        ],
+        out_specs=pl.BlockSpec((1, 8, _TILE_N), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 8, n_pad), jnp.int32),
         interpret=interpret,
-    )(xt, yt)
-    return dist[:, 0, :N], jnp.clip(idx[:, 0, :N], 0, M - 1)
+    )(xt, yt, y2_rows)
+    idx = jnp.clip(idx[:, 0, :N], 0, M - 1)
+    nn = jnp.take_along_axis(y, idx[..., None], axis=1)  # [B, N, 3]
+    dist = jnp.sum((x - nn) ** 2, axis=-1)
+    return dist, idx
 
 
 def _on_tpu() -> bool:
