@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from psi_tpu.body.smplx_model import SMPLXModel, load_smplx_npz, smplx_forward, synthetic_smplx
-from psi_tpu.body.vposer import VPoser, vposer_decode
+from psi_tpu.body.vposer import vposer_decode
 
 
 @dataclasses.dataclass

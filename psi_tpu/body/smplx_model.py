@@ -49,7 +49,10 @@ class SMPLXModel:
     hands_components_l: jax.Array  # [n_pca, 45]
     hands_components_r: jax.Array  # [n_pca, 45]
     pose_mean: jax.Array  # [J*3] (zeros except hand means unless flat_hand_mean)
-    faces: jax.Array = flax.struct.field(pytree_node=False)  # np [F, 3] int
+    # faces is a pytree NODE (device int32 array): static metadata fields
+    # must be hashable for jit-argument pytree comparison, and the asset
+    # bundle is passed as a traced jit argument throughout the framework.
+    faces: jax.Array  # [F, 3] int32
     parents: Tuple[int, ...] = flax.struct.field(pytree_node=False)
 
     @property
@@ -124,7 +127,7 @@ def load_smplx_npz(
         hands_components_l=jnp.asarray(hands_l),
         hands_components_r=jnp.asarray(hands_r),
         pose_mean=jnp.asarray(pose_mean),
-        faces=np.asarray(data["f"], dtype=np.int32).reshape(-1, 3),
+        faces=jnp.asarray(np.asarray(data["f"], dtype=np.int32).reshape(-1, 3)),
         parents=parents,
     )
 
@@ -189,7 +192,7 @@ def synthetic_smplx(
         hands_components_l=jnp.asarray(hands_l),
         hands_components_r=jnp.asarray(hands_r),
         pose_mean=jnp.asarray(pose_mean),
-        faces=faces,
+        faces=jnp.asarray(faces),
         parents=parents,
     )
 

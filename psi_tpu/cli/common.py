@@ -11,14 +11,13 @@ from __future__ import annotations
 
 import argparse
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
-from psi_tpu.data.scenes import SceneRegistry, load_scene_registry, synthetic_scene_registry
+from psi_tpu.data.scenes import SceneRegistry, load_scene_registry
 from psi_tpu.data.synthetic import make_assets, make_synthetic_assets
-from psi_tpu.geometry.contact import DEFAULT_CONTACT_PARTS, get_contact_ids, synthetic_contact_ids
+from psi_tpu.geometry.contact import DEFAULT_CONTACT_PARTS, get_contact_ids
 from psi_tpu.train.objective import SceneAssets
 
 

@@ -29,7 +29,6 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
     import jax
-    import numpy as np
     import optax
 
     from psi_tpu.data.hdf5 import PROX_TEST_SCENES

@@ -29,7 +29,6 @@ Semantics notes vs. the reference:
 
 from __future__ import annotations
 
-import functools
 import os
 import pickle
 from typing import Dict, Optional, Tuple
@@ -41,7 +40,6 @@ import optax
 
 from psi_tpu.body.decode import body_vec_to_verts
 from psi_tpu.geometry.bodyvec import convert_to_3D_rot, convert_to_6D_rot
-from psi_tpu.losses.terms import contact_robust_loss
 from psi_tpu.ops.chamfer import chamfer_one_sided
 from psi_tpu.ops.sdf import sdf_trilinear_packed
 from psi_tpu.train.objective import SceneAssets

@@ -16,7 +16,6 @@ trunk per sample, test_proxe_s1.py:104.)
 from __future__ import annotations
 
 import functools
-import glob
 import os
 import pickle
 from typing import Dict, Optional
@@ -55,6 +54,28 @@ def generate_bodies(
 ) -> jax.Array:
     """Sample n_samples bodies for one scene snapshot -> [N, 72]."""
     return _generate(model, variables, xs, cam_int, max_d, n_samples, key)
+
+
+def generate_bodies_line(
+    model,
+    variables,
+    xs: jax.Array,
+    cam_int: jax.Array,
+    max_d: jax.Array,
+    n_samples: int,
+    z_range: float = 3.0,
+):
+    """Latent line sweep for interpolation studies: eps_i = const vector
+    sweeping [-z_range, z_range) (HumanCVAES1.sample_line semantics,
+    reference cvae.py:516-534). Returns (x72 [N, 72], eps [N, eps_d])."""
+    eps_vals = jnp.arange(-z_range, z_range, 2.0 * z_range / n_samples)[:n_samples]
+    eps = jnp.broadcast_to(eps_vals[:, None], (n_samples, model.eps_d)).astype(jnp.float32)
+    xs_n = jnp.broadcast_to(xs, (n_samples,) + xs.shape[1:])
+    xhnr = model.apply(variables, xs_n, eps, method=HumanCVAES1.sample_with_eps)
+    xhn = convert_to_3D_rot(xhnr)
+    cam_int_n = jnp.broadcast_to(cam_int, (n_samples, 3, 3))
+    max_d_n = jnp.broadcast_to(max_d.reshape(1), (n_samples,))
+    return recover_global_T(xhn, cam_int_n, max_d_n), eps
 
 
 class TestOP:

@@ -12,7 +12,6 @@ so it is numerically equivalent; the test suite pins this against torch.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def resize_bilinear(img: jax.Array, out_h: int, out_w: int) -> jax.Array:

@@ -16,7 +16,7 @@ for testing and on real TPU slices unchanged.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Optional
 
 import jax
 import numpy as np

@@ -16,7 +16,6 @@ import os
 from typing import Any, Dict, Optional
 
 import flax.serialization
-import jax
 
 
 def checkpoint_dir_name(

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import functools
 import time
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import flax.struct
 import jax
@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import optax
 
 from psi_tpu.models import HumanCVAES1, HumanCVAES2
-from psi_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from psi_tpu.parallel.mesh import replicate, shard_batch
 from psi_tpu.train.checkpoint import load_newest_checkpoint, save_checkpoint
 from psi_tpu.train.objective import SceneAssets, cvae_loss
 from psi_tpu.utils.config import LossConfig, TrainConfig
@@ -135,9 +135,17 @@ class TrainOP:
 
     def train(self, batch_gen, log_fn: Optional[Callable[[str], None]] = None) -> Dict[str, float]:
         """batch_gen: iterable protocol matching the data layer
-        (has_next_batch / next_batch / reset, SURVEY.md §2 #10)."""
+        (has_next_batch / next_batch / reset, SURVEY.md §2 #10).
+
+        Per-step metrics also stream to {save_dir}/metrics.jsonl for
+        offline observability (the reference only prints to stdout)."""
+        import json
+        import os
+
         cfg = self.cfg
         log = log_fn or (print if cfg.verbose else (lambda *_: None))
+        os.makedirs(cfg.save_dir, exist_ok=True)
+        metrics_f = open(os.path.join(cfg.save_dir, "metrics.jsonl"), "a")
 
         starting_ep = 0
         if cfg.resume_training:
@@ -168,6 +176,7 @@ class TrainOP:
                     self.state, batch, self._next_key(), fca_arr, fs_arr
                 )
                 last_metrics = {k: float(v) for k, v in metrics.items()}
+                metrics_f.write(json.dumps({"epoch": ep + 1, **last_metrics}) + "\n")
                 if cfg.verbose:
                     log(
                         "---in [epoch {:d}]: rec_t={:f}, rec_p={:f}, kl={:f}, vp={:f}, "
@@ -189,5 +198,6 @@ class TrainOP:
             if (ep + 1) % cfg.saving_per_epochs == 0:
                 save_checkpoint(cfg.save_dir, ep + 1, self.state)
 
+        metrics_f.close()
         log("[INFO]: Training completes!")
         return last_metrics

@@ -25,7 +25,6 @@ from typing import Any, Dict, Optional, Tuple
 
 import flax.struct
 import jax
-import jax.numpy as jnp
 
 from psi_tpu.body.decode import body_vec_to_verts
 from psi_tpu.body.smplx_model import SMPLXModel

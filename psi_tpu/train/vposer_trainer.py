@@ -215,6 +215,36 @@ class VPoserTrainer:
         self.logger(f"Training done in {time.time() - t0:.1f}s; best {self.best_loss_total:.4e}")
         return self.best_loss_total
 
+    def vis_results(self, poses_aa: "np.ndarray", imgpath: str, n_show: int = 4) -> str:
+        """Render orig / reconstructed / sampled pose triplets to a grid PNG
+        (equivalent of VPoserTrainer.vis_results, vposer_smpl.py:408-462,
+        on the software renderer)."""
+        import numpy as _np
+
+        from psi_tpu.viz.mesh_viewer import MeshViewer, imagearray2file
+
+        poses = jnp.asarray(poses_aa[:n_show])
+        out = self.model.apply(self.variables, poses, deterministic=True)
+        rec = out["pose_aa"]
+        key = jax.random.PRNGKey(0)
+        z = jax.random.normal(key, (n_show, self.cfg.latentD))
+        from psi_tpu.body.vposer import VPoser
+
+        gen = self.model.apply(self.variables, z, method=VPoser.decode_aa)
+
+        mv = MeshViewer(width=256, height=256)
+        frames = _np.zeros((3, n_show, 1, 256, 256, 3), _np.uint8)
+        for row, pose_set in enumerate([poses, rec, gen]):
+            for col in range(n_show):
+                verts = self._decode_mesh(pose_set[col : col + 1])[0]
+                mv.set_meshes([(
+                    _np.asarray(verts) + _np.array([0, 0, 2.5]),
+                    self.bm.faces,
+                    _np.tile([0.4, 0.5, 0.85], (verts.shape[0], 1)),
+                )], densify=0)
+                frames[row, col, 0] = mv.render()
+        return imagearray2file(frames, imgpath)[0]
+
     def load_best(self) -> Dict[str, Any]:
         with open(self.best_model_fname, "rb") as f:
             payload = flax.serialization.msgpack_restore(f.read())

@@ -11,7 +11,7 @@ from __future__ import annotations
 import glob
 import os
 import pickle
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -19,7 +19,7 @@ import numpy as np
 from psi_tpu.body.decode import body_vec_to_verts
 from psi_tpu.geometry.bodyvec import body_params_parse
 from psi_tpu.viz.colors import BODY_COLORS, mpcat40_color
-from psi_tpu.viz.render import render_depth_semantics, upsample_mesh
+from psi_tpu.viz.render import render_depth_semantics
 
 
 def render_color(
