@@ -16,6 +16,7 @@ import os
 from typing import Any, Dict, Optional
 
 import flax.serialization
+import jax
 
 
 def checkpoint_dir_name(
@@ -48,14 +49,31 @@ def save_checkpoint(save_dir: str, epoch: int, state: Any) -> str:
     return path
 
 
-def load_newest_checkpoint(save_dir: str, state_template: Any) -> Optional[Dict[str, Any]]:
+def load_newest_checkpoint(
+    save_dir: str, state_template: Any, model_type: str = "s1"
+) -> Optional[Dict[str, Any]]:
     """Returns {'epoch': int, 'state': restored_state} or None.
 
-    Picks the mtime-newest epoch-*.ckp like the reference resume logic."""
+    Picks the mtime-newest epoch-*.ckp like the reference resume logic.
+    Falls back to converting a reference torch checkpoint
+    (train_s1.py:306-310 format) when the file is not our msgpack —
+    reference checkpoints are drop-in resumable (params + epoch; the
+    torch Adam moments are not carried over)."""
     paths = sorted(glob.glob(os.path.join(save_dir, "epoch-*.ckp")), key=os.path.getmtime)
     if not paths:
         return None
     with open(paths[-1], "rb") as f:
-        payload = flax.serialization.msgpack_restore(f.read())
-    state = flax.serialization.from_state_dict(state_template, payload["state"])
-    return {"epoch": int(payload["epoch"]), "state": state, "path": paths[-1]}
+        raw = f.read()
+    try:
+        payload = flax.serialization.msgpack_restore(raw)
+        state = flax.serialization.from_state_dict(state_template, payload["state"])
+        return {"epoch": int(payload["epoch"]), "state": state, "path": paths[-1]}
+    except Exception:
+        from psi_tpu.utils.convert_torch import load_reference_checkpoint
+
+        converted = load_reference_checkpoint(paths[-1], model_type=model_type)
+        state = state_template.replace(
+            params=jax.tree.map(lambda x: x, converted["params"]),
+            batch_stats=converted.get("batch_stats", {}),
+        )
+        return {"epoch": converted.get("epoch", 0), "state": state, "path": paths[-1]}
