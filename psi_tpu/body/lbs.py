@@ -9,8 +9,11 @@ walk is unrolled at trace time (static 55-joint tree) into a sequence
 of [B, 4, 4] matmuls, which XLA schedules as one fused program — there
 is no per-joint Python in the hot path at runtime.
 
-Matmuls touching geometry run at HIGHEST precision: TPU MXUs default to
-bf16 inputs, and vertex coordinates need full f32.
+Vertex-coordinate matmuls need better than single-pass bf16 (1 cm
+errors at metre scale); the two FLOP-heavy ones — pose-corrective
+blendshapes and the skinning-transform blend — run as split-bf16
+contractions (ops/precision.py: ~16-bit-mantissa accuracy, sub-0.1 mm,
+at bf16 MXU throughput); the small ones stay f32-HIGHEST.
 """
 
 from __future__ import annotations
@@ -21,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from psi_tpu.geometry.rot6d import aa_to_matrix
+from psi_tpu.ops.precision import einsum_f32x3, matmul_f32x3
 
 _P = jax.lax.Precision.HIGHEST
 
@@ -121,15 +125,17 @@ def lbs(
     if posedirs is not None:
         ident = jnp.eye(3, dtype=v_shaped.dtype)
         pose_feature = (rot_mats[:, 1:] - ident).reshape(B, -1)  # [B, (J-1)*9]
-        pose_offsets = jnp.matmul(pose_feature, posedirs, precision=_P).reshape(B, -1, 3)
+        pose_offsets = matmul_f32x3(pose_feature, posedirs).reshape(B, -1, 3)
         v_posed = v_shaped + pose_offsets
     else:
         v_posed = v_shaped
 
     posed_joints, A = batch_rigid_transform(rot_mats, joints, parents)
 
-    # skinning: T[b, v] = sum_j w[v, j] * A[b, j]
-    T = jnp.einsum("vj,bjxy->bvxy", lbs_weights, A, precision=_P)
+    # skinning: T[b, v] = sum_j w[v, j] * A[b, j]  (split-bf16 blend)
+    T = einsum_f32x3(
+        "vj,bjz->bvz", lbs_weights, A.reshape(B, J, 16), a_axis=1, b_axis=1
+    ).reshape(B, -1, 4, 4)
     verts = (
         jnp.einsum("bvxy,bvy->bvx", T[:, :, :3, :3], v_posed, precision=_P)
         + T[:, :, :3, 3]
