@@ -1,0 +1,90 @@
+"""Serving CLI: JSONL requests on stdin -> JSONL responses on stdout.
+
+Request:  {"id": "r1", "npz": "<path to snapshot npz with xs/cam_int/cam_ext/max_d>",
+           "n_samples": 32, "fit": true, "scene_idx": 0}
+Response: {"id": "r1", "n": 32, "latency_s": ..., "out": "<path written>"}
+
+  python -m psi_tpu.cli.serve --ckpt_dir ckpts --population 256 [--synthetic]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_type", type=str, default="s1", choices=["s1", "s2"])
+    p.add_argument("--ckpt_dir", type=str, default=None)
+    p.add_argument("--population", type=int, default=256)
+    p.add_argument("--latentD", type=int, default=256)
+    p.add_argument("--out_dir", type=str, default="serve_out")
+    from psi_tpu.cli.common import add_asset_args
+
+    add_asset_args(p)
+    return p
+
+
+def main(argv=None, stdin=None, stdout=None):
+    args = build_parser().parse_args(argv)
+    stdin = stdin or sys.stdin
+    stdout = stdout or sys.stdout
+
+    import jax
+    import numpy as np
+    import optax
+
+    from psi_tpu.cli.common import build_assets
+    from psi_tpu.serve import GenerationEngine
+    from psi_tpu.train.checkpoint import load_newest_checkpoint
+    from psi_tpu.train.loop import build_model, init_state
+    from psi_tpu.utils.config import TrainConfig
+
+    cfg = TrainConfig(model_type=args.model_type, latentD=args.latentD)
+    model = build_model(cfg)
+    state = init_state(model, cfg, optax.adam(1e-3), jax.random.PRNGKey(0))
+    if args.ckpt_dir:
+        restored = load_newest_checkpoint(args.ckpt_dir, state, model_type=args.model_type)
+        if restored:
+            state = restored["state"]
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    assets, _ = build_assets(args)
+
+    engine = GenerationEngine(model, variables, assets, population=args.population)
+    warm = engine.warmup()
+    print(json.dumps({"status": "ready", "warmup_s": round(warm, 2)}), file=stdout, flush=True)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    for line in stdin:
+        line = line.strip()
+        if not line:
+            continue
+        if line == "quit":
+            break
+        req = json.loads(line)
+        batch = dict(np.load(req["npz"])) if "npz" in req else {
+            "xs": np.zeros((1, 128, 128, 2), np.float32),
+            "cam_int": np.eye(3, dtype=np.float32)[None] * 500,
+            "cam_ext": np.eye(4, dtype=np.float32)[None],
+            "max_d": np.asarray([6.0], np.float32),
+        }
+        res = engine.generate(
+            batch, n_samples=req.get("n_samples"), fit=req.get("fit", False),
+            scene_idx=req.get("scene_idx", 0),
+        )
+        out_path = os.path.join(args.out_dir, f"{req.get('id', 'req')}.npy")
+        np.save(out_path, res.bodies)
+        print(
+            json.dumps({
+                "id": req.get("id"), "n": int(res.bodies.shape[0]),
+                "latency_s": round(res.latency_s, 4), "out": out_path,
+            }),
+            file=stdout, flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
