@@ -32,8 +32,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _PAD_COORD = 1e5  # padding points are pushed far away so they never win argmin
-_TILE_N = 512
-_TILE_M = 512
+# Tile sizes tuned on v5e (PSI shapes: N~1455 contact verts, M~20k scene
+# points): larger tiles amortize loop overhead; the f32 distance tile
+# (TILE_N x TILE_M x 4B) is the VMEM constraint.
+_TILE_N = 1536
+_TILE_M = 2048
+
+
+def _pick_tiles(m_pad: int):
+    """Shrink TILE_N when the resident y block grows so the distance tile
+    + y stay within the ~16MB VMEM budget."""
+    tile_n = _TILE_N
+    while tile_n * _TILE_M * 4 + 16 * m_pad * 2 + 8 * m_pad * 4 > 14 * 1024 * 1024 and tile_n > 256:
+        tile_n //= 2
+    return tile_n, _TILE_M
 
 
 # ---------------------------------------------------------------------------
@@ -157,8 +169,9 @@ def _nn_direction_pallas(x: jax.Array, y: jax.Array, interpret: bool) -> Tuple[j
     is also more accurate near zero than the |x|^2+|y|^2-2xy expansion."""
     B, N, _ = x.shape
     M = y.shape[1]
-    n_pad = _round_up(N, _TILE_N)
     m_pad = _round_up(max(M, _TILE_M), _TILE_M)
+    tile_n, tile_m = _pick_tiles(m_pad)
+    n_pad = _round_up(N, tile_n)
 
     xt = _split_cmajor(x, n_pad, "x")
     yt = _split_cmajor(y, m_pad, "y")
@@ -170,16 +183,16 @@ def _nn_direction_pallas(x: jax.Array, y: jax.Array, interpret: bool) -> Tuple[j
     y2 = jnp.sum(y_full * y_full, axis=-1)  # [B, m_pad]
     y2_rows = jnp.broadcast_to(y2[:, None, :], (B, 8, m_pad))
 
-    grid = (B, n_pad // _TILE_N)
+    grid = (B, n_pad // tile_n)
     idx = pl.pallas_call(
-        functools.partial(_nn_kernel, tile_m=_TILE_M),
+        functools.partial(_nn_kernel, tile_m=tile_m),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 16, _TILE_N), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16, tile_n), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 16, m_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, m_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8, _TILE_N), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, 8, tile_n), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 8, n_pad), jnp.int32),
         interpret=interpret,
     )(xt, yt, y2_rows)
