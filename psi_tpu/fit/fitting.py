@@ -138,20 +138,48 @@ class FittingOP:
     whole population in one program, writes refined pickles.
     """
 
-    def __init__(self, assets: SceneAssets, cfg: FitConfig, scene_idx: int, verbose: bool = False):
+    def __init__(
+        self,
+        assets: SceneAssets,
+        cfg: FitConfig,
+        scene_idx: int,
+        verbose: bool = False,
+        max_population: int = 512,
+    ):
         self.assets = assets
         self.cfg = cfg
         self.scene_idx = scene_idx
         self.verbose = verbose
+        # chunk very large populations to bound HBM (verts + autodiff
+        # residuals scale with N); chunks pad to max_population so ONE
+        # compiled program serves every chunk.
+        self.max_population = max_population
         self._fit = make_fit_step(assets, cfg)
 
     def fit_population(self, x72: np.ndarray, cam_ext: np.ndarray):
         n = x72.shape[0]
-        scene_idx = jnp.full((n,), self.scene_idx, jnp.int32)
-        x_fitted, metrics, hist = self._fit(
-            jnp.asarray(x72), jnp.asarray(cam_ext), scene_idx
-        )
-        return np.asarray(x_fitted), {k: np.asarray(v) for k, v in metrics.items()}
+        if n <= self.max_population:
+            scene_idx = jnp.full((n,), self.scene_idx, jnp.int32)
+            x_fitted, metrics, _ = self._fit(jnp.asarray(x72), jnp.asarray(cam_ext), scene_idx)
+            return np.asarray(x_fitted), {k: np.asarray(v) for k, v in metrics.items()}
+
+        cap = self.max_population
+        outs, mets = [], []
+        for lo in range(0, n, cap):
+            chunk = x72[lo : lo + cap]
+            cams = cam_ext[lo : lo + cap]
+            pad = cap - chunk.shape[0]
+            if pad:  # pad to the compiled shape; padded rows are discarded
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)], 0)
+                cams = np.concatenate([cams, np.repeat(cams[-1:], pad, 0)], 0)
+            scene_idx = jnp.full((cap,), self.scene_idx, jnp.int32)
+            x_fitted, metrics, _ = self._fit(jnp.asarray(chunk), jnp.asarray(cams), scene_idx)
+            keep = min(cap, n - lo)
+            outs.append(np.asarray(x_fitted)[:keep])
+            mets.append({k: np.asarray(v)[:keep] for k, v in metrics.items()})
+        out = np.concatenate(outs, axis=0)
+        merged = {k: np.concatenate([m[k] for m in mets], axis=0) for k in mets[0]}
+        return out, merged
 
     def fitting_files(self, gen_dir: str, fit_dir: str, max_files: int = 1200) -> int:
         """Batch-read body_gen_{i:06d}.pkl, fit all at once, write results.

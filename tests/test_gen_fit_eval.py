@@ -167,3 +167,18 @@ def test_collision_contact_scores(assets, rng):
     nc, ct = collision_contact_scores(a, x72, cam_ext, np.zeros(N, np.int32))
     assert 0.0 <= nc <= 1.0
     assert 0.0 <= ct <= 1.0
+
+
+def test_fittingop_chunked_population(assets, rng):
+    """Populations beyond max_population fit in padded chunks through one
+    compiled program; results cover every body exactly once."""
+    a, _ = assets
+    op = FittingOP(a, FitConfig(num_iter=2), scene_idx=0, max_population=4)
+    N = 10  # 3 chunks: 4 + 4 + 2(padded)
+    x72 = (rng.normal(size=(N, 72)) * 0.3).astype(np.float32)
+    x72[:, 2] += 3.0
+    cam = np.tile(np.eye(4, dtype=np.float32), (N, 1, 1))
+    x_fit, metrics = op.fit_population(x72, cam)
+    assert x_fit.shape == (N, 72)
+    assert metrics["total"].shape == (N,)
+    assert np.all(np.isfinite(x_fit))
