@@ -223,18 +223,34 @@ def render_scene_snapshot(
     cam_int: np.ndarray,
     height: int = 480,
     width: int = 640,
+    scene_faces: Optional[np.ndarray] = None,
 ) -> Dict[str, np.ndarray]:
     """Depth + semantics from one camera (the Open3D capture replacement);
-    returns raw maps plus the preprocessed 128x128 canvases."""
+    returns raw maps plus the preprocessed 128x128 canvases. With
+    scene_faces the true triangle rasterizer renders hole-free maps;
+    otherwise points are z-buffer splatted."""
     world2cam = np.linalg.inv(np.asarray(cam2world, np.float64)).astype(np.float32)
-    depth, seg = render_depth_semantics(
-        jnp.asarray(scene_verts, jnp.float32),
-        jnp.asarray(scene_labels, jnp.int32),
-        jnp.asarray(cam_int, jnp.float32),
-        height,
-        width,
-        cam_ext=jnp.asarray(world2cam),
-    )
+    if scene_faces is not None and len(scene_faces):
+        from psi_tpu.viz.render import rasterize_mesh
+
+        depth, seg = rasterize_mesh(
+            jnp.asarray(scene_verts, jnp.float32),
+            jnp.asarray(scene_faces, jnp.int32),
+            jnp.asarray(scene_labels, jnp.int32),
+            jnp.asarray(cam_int, jnp.float32),
+            height,
+            width,
+            cam_ext=jnp.asarray(world2cam),
+        )
+    else:
+        depth, seg = render_depth_semantics(
+            jnp.asarray(scene_verts, jnp.float32),
+            jnp.asarray(scene_labels, jnp.int32),
+            jnp.asarray(cam_int, jnp.float32),
+            height,
+            width,
+            cam_ext=jnp.asarray(world2cam),
+        )
     depth = np.asarray(depth)
     seg = np.asarray(seg)
     depth_c, _, max_d = data_preprocessing(depth, "depth")
