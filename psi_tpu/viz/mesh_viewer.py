@@ -13,7 +13,6 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from psi_tpu.viz.render import upsample_mesh
 from psi_tpu.viz.show_results import render_color
 
 
@@ -40,23 +39,56 @@ class MeshViewer:
         group_name: str = "static",
         densify: int = 1,
     ) -> None:
-        """meshes: list of (verts, faces, vertex_colors|None)."""
+        """meshes: list of (verts, faces, vertex_colors|None). Meshes with
+        faces render through the triangle rasterizer (hole-free); pure
+        point sets fall back to z-buffer splatting."""
         self._meshes = []
+        self._faces = []
         for item in meshes:
             verts, faces = item[0], item[1]
             colors = item[2] if len(item) > 2 and item[2] is not None else np.full((len(verts), 3), 0.6)
-            if densify and faces is not None and len(faces):
-                v2, _ = upsample_mesh(verts, faces, densify)
-                extra = len(v2) - len(verts)
-                colors = np.concatenate([colors, np.tile(colors.mean(0, keepdims=True), (extra, 1))])
-                verts = v2
             self._meshes.append((np.asarray(verts, np.float32), np.asarray(colors, np.float32)))
+            self._faces.append(np.asarray(faces, np.int32) if faces is not None and len(faces) else None)
 
     def render(self) -> np.ndarray:
         if not self._meshes:
             return np.full((self.height, self.width, 3), 255, np.uint8)
         verts = np.concatenate([m[0] for m in self._meshes], axis=0)
         colors = np.concatenate([m[1] for m in self._meshes], axis=0)
+
+        if all(f is not None for f in self._faces):
+            import jax.numpy as jnp
+
+            from psi_tpu.viz.render import rasterize_mesh
+
+            # quantized per-vertex colors -> label ids (as in render_color)
+            q = np.round(colors * 63).astype(np.int32)
+            uniq, inv = np.unique(q, axis=0, return_inverse=True)
+            if len(uniq) > 63:
+                inv = inv % 63
+                uniq = uniq[:63]
+            offset, faces_all = 0, []
+            for (v, _), f in zip(self._meshes, self._faces):
+                faces_all.append(f + offset)
+                offset += len(v)
+            faces_cat = np.concatenate(faces_all, axis=0)
+            world2cam = self.cam_ext
+            depth, label = rasterize_mesh(
+                jnp.asarray(verts), jnp.asarray(faces_cat), jnp.asarray(inv + 1),
+                jnp.asarray(self.cam_int), self.height, self.width,
+                cam_ext=jnp.asarray(world2cam),
+            )
+            depth = np.asarray(depth)
+            label = np.asarray(label).astype(np.int32)
+            palette = np.concatenate([np.zeros((1, 3)), uniq / 63.0], axis=0)
+            img = palette[np.clip(label, 0, len(palette) - 1)]
+            d = depth.copy()
+            d[d == 0] = d.max() if d.max() > 0 else 1.0
+            shade = 1.0 - 0.35 * (d - d.min()) / max(d.max() - d.min(), 1e-6)
+            img = np.clip(img * shade[..., None], 0, 1)
+            img[label == 0] = 1.0
+            return (img * 255).astype(np.uint8)
+
         return render_color(verts, colors, self.cam_int, self.height, self.width, cam_ext=self.cam_ext)
 
     def save_snapshot(self, path: str) -> str:
