@@ -98,6 +98,49 @@ def make_train_step(
     return bound
 
 
+def make_epoch_step(
+    model,
+    optimizer,
+    assets: SceneAssets,
+    loss_cfg: LossConfig,
+    model_type: str,
+) -> Callable:
+    """Whole-epoch training as ONE XLA program: batches stacked on a
+    leading axis, lax.scan over steps — zero host round-trips per step
+    (the python-loop path pays ~2 host<->device trips per batch, which
+    dominates on tunneled/dev setups). Returns
+    step_epoch(state, stacked_batches, key, fca, f_scene) ->
+    (state, stacked per-step metrics)."""
+
+    def loss_fn(params, batch_stats, batch, key, fca, f_scene, assets):
+        variables = {"params": params, "batch_stats": batch_stats}
+        total, metrics, new_state = cvae_loss(
+            model, variables, batch, assets, key, fca, f_scene, loss_cfg,
+            model_type=model_type, train=True,
+        )
+        return total, (metrics, new_state["batch_stats"] if new_state else batch_stats)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step_epoch(state: TrainState, batches, key, fca, f_scene, assets):
+        def body(carry, batch):
+            st, k = carry
+            k, sub = jax.random.split(k)
+            (_, (metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                st.params, st.batch_stats, batch, sub, fca, f_scene, assets
+            )
+            updates, new_opt = optimizer.update(grads, st.opt_state, st.params)
+            new_params = optax.apply_updates(st.params, updates)
+            return (TrainState(new_params, new_bs, new_opt, st.step + 1), k), metrics
+
+        (state, _), metrics = jax.lax.scan(body, (state, key), batches)
+        return state, metrics
+
+    def bound(state, batches, key, fca, f_scene):
+        return step_epoch(state, batches, key, fca, f_scene, assets)
+
+    return bound
+
+
 class TrainOP:
     """End-to-end training driver (TrainOP parity, train_s1.py:38-338)."""
 

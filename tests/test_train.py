@@ -123,3 +123,40 @@ def test_checkpoint_dir_name_convention():
     name = checkpoint_dir_name("ckpts", "s1", 32, 30, 0.0003, 0.001, 0.1, 0.01, 0.1)
     assert "modelS1_batch32_epoch30_LR0.0003" in name
     assert "LossVposer0.001_LossKL0.1_LossContact0.01_LossCollision0.1" in name
+
+
+def test_epoch_scan_matches_loop(tiny_assets):
+    """One-program epoch scan takes identical gradient steps to the
+    python-loop path given the same batches and keys."""
+    from psi_tpu.train.loop import make_epoch_step
+
+    assets, _ = tiny_assets
+    cfg = TrainConfig(model_type="s1", latentD=32)
+    model = build_model(cfg)
+    opt = optax.adam(1e-4)
+    gen = SyntheticBatchGenerator(num_scenes=3, batches_per_epoch=3, seed=3)
+    batches = [
+        {k: jnp.asarray(v) for k, v in gen.next_batch(2).items()} for _ in range(3)
+    ]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+    fca, fs = jnp.float32(0.5), jnp.float32(1.0)
+    key = jax.random.PRNGKey(9)
+
+    # loop path, replicating the scan's key schedule
+    state_a = init_state(model, cfg, opt, jax.random.PRNGKey(0))
+    step = make_train_step(model, opt, assets, LossConfig(), "s1")
+    k = key
+    for b in batches:
+        k, sub = jax.random.split(k)
+        state_a, m_a = step(state_a, b, sub, fca, fs)
+
+    state_b = init_state(model, cfg, opt, jax.random.PRNGKey(0))
+    epoch = make_epoch_step(model, opt, assets, LossConfig(), "s1")
+    state_b, metrics = epoch(state_b, stacked, key, fca, fs)
+
+    assert metrics["loss"].shape == (3,)
+    la = jax.tree.leaves(state_a.params)
+    lb = jax.tree.leaves(state_b.params)
+    for a, b_ in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-5)
+    assert int(state_b.step) == 3
