@@ -170,6 +170,11 @@ class TrainOP:
         self.step_fn = make_train_step(
             self.model, self.optimizer, self.assets, loss_cfg, cfg.model_type
         )
+        self.epoch_fn = (
+            make_epoch_step(self.model, self.optimizer, self.assets, loss_cfg, cfg.model_type)
+            if cfg.scan_epoch
+            else None
+        )
         self._key = jax.random.PRNGKey(cfg.seed + 1)
 
     def _next_key(self):
@@ -208,6 +213,34 @@ class TrainOP:
             f_scene = 1.0 if ep > 0.75 * cfg.epoch else 0.0
             fca_arr = jnp.float32(fca)
             fs_arr = jnp.float32(f_scene)
+
+            if self.epoch_fn is not None:
+                # stack the whole epoch and run it as one scanned program
+                batches = []
+                while batch_gen.has_next_batch():
+                    b = batch_gen.next_batch(cfg.batch_size)
+                    if b is not None:
+                        batches.append({k: jnp.asarray(v) for k, v in b.items()})
+                if batches:
+                    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+                    if self.mesh is not None:
+                        # axis 0 is the scan/step axis; shard the batch axis
+                        from jax.sharding import NamedSharding, PartitionSpec as P
+
+                        sh = NamedSharding(self.mesh, P(None, "dp"))
+                        stacked = jax.tree.map(lambda x: jax.device_put(x, sh), stacked)
+                    self.state, metrics = self.epoch_fn(
+                        self.state, stacked, self._next_key(), fca_arr, fs_arr
+                    )
+                    last_metrics = {k: float(v[-1]) for k, v in metrics.items()}
+                    for si in range(len(batches)):
+                        metrics_f.write(
+                            json.dumps({"epoch": ep + 1, **{k: float(v[si]) for k, v in metrics.items()}}) + "\n"
+                        )
+                batch_gen.reset()
+                if (ep + 1) % cfg.saving_per_epochs == 0:
+                    save_checkpoint(cfg.save_dir, ep + 1, self.state)
+                continue
 
             while batch_gen.has_next_batch():
                 batch = batch_gen.next_batch(cfg.batch_size)

@@ -55,6 +55,9 @@ class TrainConfig:
     # optimizer robustness (off by default = reference parity; the raw
     # Adam + exp(logvar) KL objective can spike early in training)
     grad_clip_norm: Optional[float] = None
+    # run each epoch as ONE lax.scan program (zero per-step host trips);
+    # requires the epoch's batches to fit in host memory for stacking
+    scan_epoch: bool = False
     # parallelism
     num_devices: Optional[int] = None  # None -> all available
 

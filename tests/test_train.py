@@ -160,3 +160,20 @@ def test_epoch_scan_matches_loop(tiny_assets):
     for a, b_ in zip(la, lb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-5)
     assert int(state_b.step) == 3
+
+
+def test_trainop_scan_epoch_mode(tiny_assets, tmp_path):
+    assets, _ = tiny_assets
+    cfg = TrainConfig(
+        model_type="s1", latentD=32, batch_size=4, epoch=1,
+        save_dir=str(tmp_path / "ck"), saving_per_epochs=1, verbose=False,
+        scan_epoch=True,
+    )
+    op = TrainOP(cfg, LossConfig(), assets)
+    gen = SyntheticBatchGenerator(num_scenes=3, batches_per_epoch=3)
+    metrics = op.train(gen)
+    assert np.isfinite(metrics["loss"])
+    assert os.path.exists(os.path.join(cfg.save_dir, "epoch-000001.ckp"))
+    # metrics.jsonl has one row per scanned step
+    rows = open(os.path.join(cfg.save_dir, "metrics.jsonl")).read().strip().splitlines()
+    assert len(rows) == 3
