@@ -72,14 +72,17 @@ def main(argv=None):
     else:
         from psi_tpu.data.hdf5 import BatchGeneratorWithSceneMesh
 
-        if args.only_vircam:
-            train_files = [os.path.join(args.proxe_path, "virtualcams.hdf5")]
-        else:
-            train_files = [
-                os.path.join(args.proxe_path, "virtualcams.hdf5"),
-                os.path.join(args.proxe_path, "realcams.hdf5"),
-            ]
-        train_files = [f for f in train_files if os.path.exists(f)]
+        import glob as _glob
+
+        def find(prefix):
+            # accept both naming generations (virtualcams.hdf5 /
+            # virtualcams_v2.hdf5, train_s1.py:386-389)
+            hits = sorted(_glob.glob(os.path.join(args.proxe_path, f"{prefix}*.hdf5")))
+            return hits[-1:] if hits else []
+
+        train_files = find("virtualcams")
+        if not args.only_vircam:
+            train_files += find("realcams")
         batch_gen = BatchGeneratorWithSceneMesh(
             train_files, mode="all" if args.use_all else "train", registry=registry
         )
