@@ -132,12 +132,12 @@ def lbs(
 
     posed_joints, A = batch_rigid_transform(rot_mats, joints, parents)
 
-    # skinning: T[b, v] = sum_j w[v, j] * A[b, j]  (split-bf16 blend)
-    T = einsum_f32x3(
-        "vj,bjz->bvz", lbs_weights, A.reshape(B, J, 16), a_axis=1, b_axis=1
-    ).reshape(B, -1, 4, 4)
-    verts = (
-        jnp.einsum("bvxy,bvy->bvx", T[:, :, :3, :3], v_posed, precision=_P)
-        + T[:, :, :3, 3]
-    )
+    # skinning: T[b, v] = sum_j w[v, j] * A[b, j]  (split-bf16 blend).
+    # Only the top 3x4 of each 4x4 transform is needed (the last row is
+    # constant [0,0,0,1]) — blending 12 instead of 16 values cuts the
+    # largest intermediate ([B, V, ...]) by 25%.
+    A12 = A[:, :, :3, :].reshape(B, J, 12)  # rows interleave (R | t)
+    T = einsum_f32x3("vj,bjz->bvz", lbs_weights, A12, a_axis=1, b_axis=1)
+    T34 = T.reshape(B, -1, 3, 4)
+    verts = jnp.einsum("bvxy,bvy->bvx", T34[..., :3], v_posed, precision=_P) + T34[..., 3]
     return verts, posed_joints
