@@ -160,7 +160,12 @@ class FittingOP:
         n = x72.shape[0]
         if n <= self.max_population:
             scene_idx = jnp.full((n,), self.scene_idx, jnp.int32)
-            x_fitted, metrics, _ = self._fit(jnp.asarray(x72), jnp.asarray(cam_ext), scene_idx)
+            x_fitted, metrics, hist = self._fit(jnp.asarray(x72), jnp.asarray(cam_ext), scene_idx)
+            if self.verbose:
+                # per-iteration mean loss trace (fitting_proxe.py:183-186 prints
+                # per-iter losses; here one line per iter over the population)
+                for ii, row in enumerate(np.asarray(hist)):
+                    print(f"[INFO][fitting] iter={ii:d}, mean_total={float(row.mean()):f}")
             return np.asarray(x_fitted), {k: np.asarray(v) for k, v in metrics.items()}
 
         cap = self.max_population
