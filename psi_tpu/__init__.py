@@ -16,3 +16,29 @@ the PROX-E / MP3D-R evaluation protocol — all designed TPU-first:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level convenience API (keeps `import psi_tpu` light)."""
+    _map = {
+        "HumanCVAES1": "psi_tpu.models",
+        "HumanCVAES2": "psi_tpu.models",
+        "SMPLXModel": "psi_tpu.body",
+        "load_smplx_npz": "psi_tpu.body",
+        "smplx_forward": "psi_tpu.body",
+        "VPoser": "psi_tpu.body",
+        "SceneAssets": "psi_tpu.train",
+        "TrainOP": "psi_tpu.train",
+        "FittingOP": "psi_tpu.fit",
+        "fit_bodies": "psi_tpu.fit",
+        "TestOP": "psi_tpu.gen",
+        "generate_bodies": "psi_tpu.gen",
+        "GenerationEngine": "psi_tpu.serve",
+        "chamfer_distance": "psi_tpu.ops",
+        "sdf_trilinear": "psi_tpu.ops",
+    }
+    if name in _map:
+        import importlib
+
+        return getattr(importlib.import_module(_map[name]), name)
+    raise AttributeError(f"module 'psi_tpu' has no attribute {name!r}")
