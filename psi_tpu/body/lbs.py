@@ -101,6 +101,7 @@ def lbs(
     J_regressor: jax.Array,
     parents: Tuple[int, ...],
     lbs_weights: jax.Array,
+    exact: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Full LBS forward.
 
@@ -112,6 +113,9 @@ def lbs(
     J_regressor: [J, V]
     parents:     static tuple of J ints
     lbs_weights: [V, J]
+    exact:       run the two split-bf16 contractions at full input
+                 precision instead (slower; used for f64 parity tests
+                 against the reference human_body_prior/body_model/lbs.py)
     Returns (verts [B, V, 3], joints [B, J, 3]).
     """
     B = betas.shape[0]
@@ -125,7 +129,10 @@ def lbs(
     if posedirs is not None:
         ident = jnp.eye(3, dtype=v_shaped.dtype)
         pose_feature = (rot_mats[:, 1:] - ident).reshape(B, -1)  # [B, (J-1)*9]
-        pose_offsets = matmul_f32x3(pose_feature, posedirs).reshape(B, -1, 3)
+        if exact:
+            pose_offsets = jnp.matmul(pose_feature, posedirs, precision=_P).reshape(B, -1, 3)
+        else:
+            pose_offsets = matmul_f32x3(pose_feature, posedirs).reshape(B, -1, 3)
         v_posed = v_shaped + pose_offsets
     else:
         v_posed = v_shaped
@@ -137,7 +144,10 @@ def lbs(
     # constant [0,0,0,1]) — blending 12 instead of 16 values cuts the
     # largest intermediate ([B, V, ...]) by 25%.
     A12 = A[:, :, :3, :].reshape(B, J, 12)  # rows interleave (R | t)
-    T = einsum_f32x3("vj,bjz->bvz", lbs_weights, A12, a_axis=1, b_axis=1)
+    if exact:
+        T = jnp.einsum("vj,bjz->bvz", lbs_weights, A12, precision=_P)
+    else:
+        T = einsum_f32x3("vj,bjz->bvz", lbs_weights, A12, a_axis=1, b_axis=1)
     T34 = T.reshape(B, -1, 3, 4)
     verts = jnp.einsum("bvxy,bvy->bvx", T34[..., :3], v_posed, precision=_P) + T34[..., 3]
     return verts, posed_joints

@@ -110,3 +110,22 @@ def body_params_encapsulate_list(x72: np.ndarray) -> list:
             }
         )
     return out
+
+
+def body_params_encapsulate_latent(x72: np.ndarray, eps: np.ndarray) -> list:
+    """Per-sample list of numpy dicts with the latent code attached.
+
+    Equivalent of BodyParamParser.body_params_encapsulate_latent
+    (reference: source/cvae.py:251-271): like body_params_encapsulate_list
+    but each dict carries the [1, zdim] latent under key 'z', used when
+    logging which noise produced which body.
+    """
+    eps_np = np.asarray(eps)
+    if eps_np.shape[0] != np.asarray(x72).shape[0]:
+        raise ValueError(
+            f"eps batch {eps_np.shape[0]} != body batch {np.asarray(x72).shape[0]}"
+        )
+    out = body_params_encapsulate_list(x72)
+    for b, d in enumerate(out):
+        d["z"] = eps_np[b : b + 1, :]
+    return out

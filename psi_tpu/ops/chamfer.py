@@ -211,6 +211,10 @@ def _on_tpu() -> bool:
 
 def _nn_both(x, y, implementation: str):
     use_pallas = implementation == "pallas" or (implementation == "auto" and _on_tpu())
+    # the Pallas kernel is f32-only (split-bf16 carries); f64 inputs
+    # (x64 parity runs) take the exact jnp path
+    if x.dtype != jnp.float32:
+        use_pallas = False
     interpret = implementation == "pallas" and not _on_tpu()
     if use_pallas:
         d1, i1 = _nn_direction_pallas(x, y, interpret)
@@ -271,25 +275,29 @@ def chamfer_distance(
     implementation: 'auto' (Pallas on TPU, jnp elsewhere), 'pallas'
     (interpret mode off-TPU — slow, for tests), or 'reference'.
     """
-    return _chamfer(x.astype(jnp.float32), y.astype(jnp.float32), implementation)
+    # promote low-precision inputs to f32; keep f64 (x64 parity tests)
+    dt = jnp.promote_types(x.dtype, jnp.float32)
+    return _chamfer(x.astype(dt), y.astype(dt), implementation)
+
+
+def _nn_one_direction(x, y, implementation: str):
+    use_pallas = implementation == "pallas" or (implementation == "auto" and _on_tpu())
+    if x.dtype != jnp.float32:  # Pallas kernel is f32-only (see _nn_both)
+        use_pallas = False
+    if use_pallas:
+        interpret = implementation == "pallas" and not _on_tpu()
+        return _nn_direction_pallas(x, y, interpret)
+    return jax.vmap(_nn_one)(x, y)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _chamfer_one(x: jax.Array, y: jax.Array, implementation: str):
-    if implementation == "pallas" or (implementation == "auto" and _on_tpu()):
-        interpret = implementation == "pallas" and not _on_tpu()
-        d1, _ = _nn_direction_pallas(x, y, interpret)
-        return d1
-    d1, _ = jax.vmap(_nn_one)(x, y)
+    d1, _ = _nn_one_direction(x, y, implementation)
     return d1
 
 
 def _chamfer_one_fwd(x, y, implementation):
-    if implementation == "pallas" or (implementation == "auto" and _on_tpu()):
-        interpret = implementation == "pallas" and not _on_tpu()
-        d1, i1 = _nn_direction_pallas(x, y, interpret)
-    else:
-        d1, i1 = jax.vmap(_nn_one)(x, y)
+    d1, i1 = _nn_one_direction(x, y, implementation)
     return d1, (x, y, i1)
 
 
