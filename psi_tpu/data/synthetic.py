@@ -64,6 +64,7 @@ def make_synthetic_assets(
     scene_points: int = 2000,
     n_contact: int = 1024,
     seed: int = 0,
+    sdf_dtype=None,
 ) -> Tuple[SceneAssets, SceneRegistry]:
     smplx = synthetic_smplx(num_verts=num_verts, num_joints=num_joints, seed=seed)
     vposer = synthetic_vposer_params(seed=seed)
@@ -71,7 +72,7 @@ def make_synthetic_assets(
     registry = synthetic_scene_registry(
         num_scenes=num_scenes, dim=sdf_dim, num_verts=scene_points, seed=seed
     )
-    return make_assets(smplx, vposer, contact, registry), registry
+    return make_assets(smplx, vposer, contact, registry, sdf_dtype=sdf_dtype), registry
 
 
 def random_body_batch(rng: np.random.Generator, batch_size: int, max_d: np.ndarray) -> np.ndarray:

@@ -64,6 +64,17 @@ def _per_body_losses(
     verts, _ = body_vec_to_verts(assets.smplx, assets.vposer_params, xh, cam_ext)
     contact_verts = verts[:, assets.contact_vids, :]
     scene_pts = assets.scene_verts[scene_idx]
+    if cfg.prune_scene_points and cfg.prune_scene_points < scene_pts.shape[1]:
+        # candidate pruning: the NN search only needs scene points near
+        # the body; keep the K nearest to the contact centroid. Runs
+        # every iteration (tracks the moving body), costs O(B*M) adds +
+        # an approx_min_k, and cuts the O(B*C*M) argmin kernel ~M/K x.
+        centroid = jnp.mean(contact_verts, axis=1)  # [N, 3]
+        cd = jnp.sum((scene_pts - centroid[:, None, :]) ** 2, axis=-1)
+        _, sel = jax.lax.approx_min_k(cd, cfg.prune_scene_points, recall_target=0.99)
+        scene_pts = jnp.take_along_axis(
+            scene_pts, jax.lax.stop_gradient(sel)[..., None], axis=1
+        )
     d1 = chamfer_one_sided(contact_verts, scene_pts)  # [N, C]
     s = jnp.sqrt(d1 + 1e-4)
     loss_contact = cfg.weight_contact * jnp.mean(s / (s + cfg.contact_denom_offset), axis=1)
@@ -130,6 +141,57 @@ def fit_bodies(
     """One-shot convenience wrapper around make_fit_step."""
     cfg = cfg or FitConfig()
     return make_fit_step(assets, cfg)(x72_init, cam_ext, scene_idx)
+
+
+def make_fit_step_carry_opt_state(assets: SceneAssets, cfg: FitConfig):
+    """Reference-quirk mode: ONE Adam state shared serially across bodies.
+
+    The reference constructs a single Adam optimizer per scene and loops
+    over body pickles, resetting only the parameter value per body
+    (``xhr_rec.data = ...``) while the moments and the bias-correction
+    step count carry over (fitting_proxe.py:73-74,175). This mode
+    replicates those semantics exactly — a lax.scan over bodies
+    (serial, as the reference is) with the opt state threaded through —
+    so the impact of the quirk can be *measured* against the clean
+    fresh-state-per-body default (see PARITY.md). Not a production
+    path: it serializes the population.
+    """
+    opt = optax.adam(cfg.init_lr_h)
+
+    @jax.jit
+    def fit(assets, x72_init, cam_ext, scene_idx):
+        xhr_init_all = convert_to_6D_rot(x72_init)  # [N, 75]
+
+        def one_body(opt_state, inputs):
+            xhr_init1, cam1, sidx1 = inputs  # [75], [4,4], []
+
+            def loss_fn(xhr):
+                return _per_body_losses(
+                    assets, xhr, xhr_init1[None], cam1[None], sidx1[None], cfg
+                )
+
+            def step(carry, _):
+                xhr, opt_state = carry
+                (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(xhr)
+                updates, opt_state = opt.update(grads, opt_state, xhr)
+                return (optax.apply_updates(xhr, updates), opt_state), metrics["total"]
+
+            (xhr, opt_state), _ = jax.lax.scan(
+                step, (xhr_init1[None], opt_state), None, length=cfg.num_iter
+            )
+            return opt_state, xhr[0]
+
+        opt_state0 = opt.init(xhr_init_all[0:1])
+        _, xhr_all = jax.lax.scan(one_body, opt_state0, (xhr_init_all, cam_ext, scene_idx))
+        _, final_metrics = _per_body_losses(
+            assets, xhr_all, xhr_init_all, cam_ext, scene_idx, cfg
+        )
+        return convert_to_3D_rot(xhr_all), final_metrics
+
+    def bound(x72_init, cam_ext, scene_idx):
+        return fit(assets, x72_init, cam_ext, scene_idx)
+
+    return bound
 
 
 class FittingOP:

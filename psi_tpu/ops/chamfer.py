@@ -39,13 +39,13 @@ _TILE_N = 1536
 _TILE_M = 2048
 
 
-def _pick_tiles(m_pad: int):
+def _pick_tiles(m_pad: int, tile_m: int = _TILE_M):
     """Shrink TILE_N when the resident y block grows so the distance tile
     + y stay within the ~16MB VMEM budget."""
     tile_n = _TILE_N
-    while tile_n * _TILE_M * 4 + 16 * m_pad * 2 + 8 * m_pad * 4 > 14 * 1024 * 1024 and tile_n > 256:
+    while tile_n * tile_m * 4 + 16 * m_pad * 2 + 8 * m_pad * 4 > 14 * 1024 * 1024 and tile_n > 256:
         tile_n //= 2
-    return tile_n, _TILE_M
+    return tile_n, tile_m
 
 
 # ---------------------------------------------------------------------------
@@ -169,8 +169,11 @@ def _nn_direction_pallas(x: jax.Array, y: jax.Array, interpret: bool) -> Tuple[j
     is also more accurate near zero than the |x|^2+|y|^2-2xy expansion."""
     B, N, _ = x.shape
     M = y.shape[1]
-    m_pad = _round_up(max(M, _TILE_M), _TILE_M)
-    tile_n, tile_m = _pick_tiles(m_pad)
+    # small clouds (e.g. pruned scene-point sets) don't pay for a full
+    # 2048-wide tile: shrink tile_m to the lane-aligned M
+    tile_m_cap = min(_TILE_M, max(512, _round_up(M, 128)))
+    m_pad = _round_up(max(M, tile_m_cap), tile_m_cap)
+    tile_n, tile_m = _pick_tiles(m_pad, tile_m_cap)
     n_pad = _round_up(N, tile_n)
 
     xt = _split_cmajor(x, n_pad, "x")

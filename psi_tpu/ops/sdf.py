@@ -216,7 +216,17 @@ def sdf_trilinear_packed(
 ) -> jax.Array:
     """Same function as sdf_trilinear_stacked, one gather per point.
 
-    sdf_packed: [S, D, H, W, 8] from pack_sdf_corners.
+    sdf_packed: [S, D, H, W, 8] from pack_sdf_corners; may be stored
+    bf16 (half the gather bytes; ~2^-8-relative value quantization —
+    the production fit/train configs opt in via make_assets, parity
+    tests keep f32). The gather is the cost: on v5e it runs at a fixed
+    ~8ns per INDEX for any row width <=128, so one packed-row fetch per
+    point is the optimal shape (8 scalar gathers measured 6x slower,
+    scripts/profile_sdf.py / profile_gather.py).
+
+    Trilinear weights are applied as an unrolled lerp tree (7 fused
+    elementwise ops on [B, N] slices) instead of materializing
+    [B, N, 8] weight tensors — measured ~7% faster end-to-end.
     """
     S, D, H, W, _ = sdf_packed.shape
     gmin = grid_mins[scene_idx]
@@ -229,9 +239,9 @@ def sdf_trilinear_packed(
     x0 = jnp.floor(cx)
     y0 = jnp.floor(cy)
     z0 = jnp.floor(cz)
-    wx = (cx - x0)[..., None]
-    wy = (cy - y0)[..., None]
-    wz = (cz - z0)[..., None]
+    wx = cx - x0
+    wy = cy - y0
+    wz = cz - z0
     x0i = jnp.clip(x0.astype(jnp.int32), 0, D - 1)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
     z0i = jnp.clip(z0.astype(jnp.int32), 0, W - 1)
@@ -239,13 +249,17 @@ def sdf_trilinear_packed(
     rows = sdf_packed.reshape(-1, 8)
     base = (scene_idx.astype(jnp.int32) * D)[:, None]
     flat = ((base + x0i) * H + y0i) * W + z0i
-    c = jnp.take(rows, flat, axis=0)  # [B, N, 8]
+    c = jnp.take(rows, flat, axis=0).astype(jnp.float32)  # [B, N, 8]
 
-    # weights for channel c = dx*4+dy*2+dz
-    w_x = jnp.concatenate([1 - wx, 1 - wx, 1 - wx, 1 - wx, wx, wx, wx, wx], axis=-1)
-    w_y = jnp.concatenate([1 - wy, 1 - wy, wy, wy, 1 - wy, 1 - wy, wy, wy], axis=-1)
-    w_z = jnp.concatenate([1 - wz, wz, 1 - wz, wz, 1 - wz, wz, 1 - wz, wz], axis=-1)
-    return jnp.sum(c * (w_x * w_y * w_z), axis=-1)
+    # channel layout: c = dx*4 + dy*2 + dz (pack_sdf_corners)
+    ux, uy, uz = 1 - wx, 1 - wy, 1 - wz
+    c00 = c[..., 0] * uz + c[..., 1] * wz
+    c01 = c[..., 2] * uz + c[..., 3] * wz
+    c10 = c[..., 4] * uz + c[..., 5] * wz
+    c11 = c[..., 6] * uz + c[..., 7] * wz
+    c0 = c00 * uy + c01 * wy
+    c1 = c10 * uy + c11 * wy
+    return c0 * ux + c1 * wx
 
 
 def sdf_penetration_loss(body_sdf: jax.Array) -> jax.Array:

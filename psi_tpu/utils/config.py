@@ -77,6 +77,12 @@ class FitConfig:
     weight_contact: float = 0.1
     weight_collision: float = 0.5
     contact_denom_offset: float = 0.01  # 1.0 for habitat (fitting_habitat.py:141)
+    # contact chamfer: per-iteration candidate pruning — keep only the K
+    # scene points nearest each body's contact centroid before the NN
+    # kernel (the argmin winner is preserved in practice: the selection
+    # re-runs every iteration with K >> the NN's centroid-distance rank;
+    # equality is asserted in tests/test_fit_prune.py). 0 = exact full set.
+    prune_scene_points: int = 1024
 
 
 def save_config(cfg, path: str) -> None:
