@@ -105,11 +105,15 @@ def make_epoch_step(
     loss_cfg: LossConfig,
     model_type: str,
 ) -> Callable:
-    """Whole-epoch training as ONE XLA program: batches stacked on a
+    """Chunk-of-epoch training as ONE XLA program: K batches stacked on a
     leading axis, lax.scan over steps — zero host round-trips per step
     (the python-loop path pays ~2 host<->device trips per batch, which
-    dominates on tunneled/dev setups). Returns
-    step_epoch(state, stacked_batches, key, fca, f_scene) ->
+    dominates on tunneled/dev setups).
+
+    Keys are supplied PER STEP (stacked [K, 2] alongside the batches),
+    so a chunked epoch consumes exactly the same key sequence as the
+    python loop — chunk size changes memory, never semantics. Returns
+    step_epoch(state, stacked_batches, keys, fca, f_scene) ->
     (state, stacked per-step metrics)."""
 
     def loss_fn(params, batch_stats, batch, key, fca, f_scene, assets):
@@ -121,22 +125,21 @@ def make_epoch_step(
         return total, (metrics, new_state["batch_stats"] if new_state else batch_stats)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def step_epoch(state: TrainState, batches, key, fca, f_scene, assets):
-        def body(carry, batch):
-            st, k = carry
-            k, sub = jax.random.split(k)
+    def step_epoch(state: TrainState, batches, keys, fca, f_scene, assets):
+        def body(st, xs):
+            batch, key = xs
             (_, (metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                st.params, st.batch_stats, batch, sub, fca, f_scene, assets
+                st.params, st.batch_stats, batch, key, fca, f_scene, assets
             )
             updates, new_opt = optimizer.update(grads, st.opt_state, st.params)
             new_params = optax.apply_updates(st.params, updates)
-            return (TrainState(new_params, new_bs, new_opt, st.step + 1), k), metrics
+            return TrainState(new_params, new_bs, new_opt, st.step + 1), metrics
 
-        (state, _), metrics = jax.lax.scan(body, (state, key), batches)
+        state, metrics = jax.lax.scan(body, state, (batches, keys))
         return state, metrics
 
-    def bound(state, batches, key, fca, f_scene):
-        return step_epoch(state, batches, key, fca, f_scene, assets)
+    def bound(state, batches, keys, fca, f_scene):
+        return step_epoch(state, batches, keys, fca, f_scene, assets)
 
     return bound
 
@@ -215,14 +218,21 @@ class TrainOP:
             fs_arr = jnp.float32(f_scene)
 
             if self.epoch_fn is not None:
-                # stack the whole epoch and run it as one scanned program
-                batches = []
+                # run the epoch as chunked scan programs: stack at most
+                # scan_chunk_size batches on device at a time (bounds
+                # peak HBM); a leftover tail of < chunk batches goes
+                # through the per-step path with the same key sequence
+                chunk = max(1, cfg.scan_chunk_size)
+                pending = []
                 while batch_gen.has_next_batch():
                     b = batch_gen.next_batch(cfg.batch_size)
                     if b is not None:
-                        batches.append({k: jnp.asarray(v) for k, v in b.items()})
-                if batches:
-                    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+                        pending.append({k: jnp.asarray(v) for k, v in b.items()})
+                n_full = (len(pending) // chunk) * chunk
+                for lo in range(0, n_full, chunk):
+                    group = pending[lo : lo + chunk]
+                    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *group)
+                    keys = jnp.stack([self._next_key() for _ in group])
                     if self.mesh is not None:
                         # axis 0 is the scan/step axis; shard the batch axis
                         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -230,13 +240,21 @@ class TrainOP:
                         sh = NamedSharding(self.mesh, P(None, "dp"))
                         stacked = jax.tree.map(lambda x: jax.device_put(x, sh), stacked)
                     self.state, metrics = self.epoch_fn(
-                        self.state, stacked, self._next_key(), fca_arr, fs_arr
+                        self.state, stacked, keys, fca_arr, fs_arr
                     )
                     last_metrics = {k: float(v[-1]) for k, v in metrics.items()}
-                    for si in range(len(batches)):
+                    for si in range(len(group)):
                         metrics_f.write(
                             json.dumps({"epoch": ep + 1, **{k: float(v[si]) for k, v in metrics.items()}}) + "\n"
                         )
+                for batch in pending[n_full:]:  # tail: per-step path
+                    if self.mesh is not None:
+                        batch = shard_batch(batch, self.mesh)
+                    self.state, metrics = self.step_fn(
+                        self.state, batch, self._next_key(), fca_arr, fs_arr
+                    )
+                    last_metrics = {k: float(v) for k, v in metrics.items()}
+                    metrics_f.write(json.dumps({"epoch": ep + 1, **last_metrics}) + "\n")
                 batch_gen.reset()
                 if (ep + 1) % cfg.saving_per_epochs == 0:
                     save_checkpoint(cfg.save_dir, ep + 1, self.state)

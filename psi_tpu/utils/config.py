@@ -55,9 +55,14 @@ class TrainConfig:
     # optimizer robustness (off by default = reference parity; the raw
     # Adam + exp(logvar) KL objective can spike early in training)
     grad_clip_norm: Optional[float] = None
-    # run each epoch as ONE lax.scan program (zero per-step host trips);
-    # requires the epoch's batches to fit in host memory for stacking
+    # run each epoch as chunked lax.scan programs (zero per-step host
+    # trips within a chunk). scan_chunk_size bounds device memory: only
+    # chunk_size batches are stacked on device at once (a whole PROX
+    # epoch of 128x128x2 snapshots would be GBs of HBM). Leftover
+    # batches (< chunk) run through the per-step path — identical
+    # semantics, the per-batch key sequence is shared.
     scan_epoch: bool = False
+    scan_chunk_size: int = 32
     # parallelism
     num_devices: Optional[int] = None  # None -> all available
 

@@ -140,19 +140,17 @@ def test_epoch_scan_matches_loop(tiny_assets):
     ]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
     fca, fs = jnp.float32(0.5), jnp.float32(1.0)
-    key = jax.random.PRNGKey(9)
+    keys = [jax.random.PRNGKey(9 + i) for i in range(3)]
 
-    # loop path, replicating the scan's key schedule
+    # loop path with the same per-batch keys
     state_a = init_state(model, cfg, opt, jax.random.PRNGKey(0))
     step = make_train_step(model, opt, assets, LossConfig(), "s1")
-    k = key
-    for b in batches:
-        k, sub = jax.random.split(k)
-        state_a, m_a = step(state_a, b, sub, fca, fs)
+    for b, k in zip(batches, keys):
+        state_a, m_a = step(state_a, b, k, fca, fs)
 
     state_b = init_state(model, cfg, opt, jax.random.PRNGKey(0))
     epoch = make_epoch_step(model, opt, assets, LossConfig(), "s1")
-    state_b, metrics = epoch(state_b, stacked, key, fca, fs)
+    state_b, metrics = epoch(state_b, stacked, jnp.stack(keys), fca, fs)
 
     assert metrics["loss"].shape == (3,)
     la = jax.tree.leaves(state_a.params)
@@ -160,6 +158,15 @@ def test_epoch_scan_matches_loop(tiny_assets):
     for a, b_ in zip(la, lb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-5)
     assert int(state_b.step) == 3
+
+    # chunked scan (2 + 1) consumes the same key sequence -> same params
+    state_c = init_state(model, cfg, opt, jax.random.PRNGKey(0))
+    stacked01 = jax.tree.map(lambda *xs: jnp.stack(xs), *batches[:2])
+    state_c, _ = epoch(state_c, stacked01, jnp.stack(keys[:2]), fca, fs)
+    state_c, _ = step(state_c, batches[2], keys[2], fca, fs)
+    for a, c_ in zip(la, jax.tree.leaves(state_c.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c_), atol=2e-5)
+    assert int(state_c.step) == 3
 
 
 def test_trainop_scan_epoch_mode(tiny_assets, tmp_path):
@@ -177,3 +184,37 @@ def test_trainop_scan_epoch_mode(tiny_assets, tmp_path):
     # metrics.jsonl has one row per scanned step
     rows = open(os.path.join(cfg.save_dir, "metrics.jsonl")).read().strip().splitlines()
     assert len(rows) == 3
+
+
+def test_trainop_scan_epoch_chunked(tiny_assets, tmp_path):
+    """Chunked epoch scan (chunk smaller than the epoch): full chunks go
+    through the scanned program, the tail through the per-step path;
+    every step is logged and the result matches the python-loop run of
+    the same TrainOP config to Adam-noise tolerance."""
+    assets, _ = tiny_assets
+    base = dict(
+        model_type="s1", latentD=32, batch_size=4, epoch=1,
+        saving_per_epochs=1, verbose=False, seed=4,
+    )
+    cfg_a = TrainConfig(save_dir=str(tmp_path / "chunked"), scan_epoch=True,
+                        scan_chunk_size=2, **base)
+    op_a = TrainOP(cfg_a, LossConfig(), assets)
+    metrics_a = op_a.train(SyntheticBatchGenerator(num_scenes=3, batches_per_epoch=5, seed=2))
+    rows = open(os.path.join(cfg_a.save_dir, "metrics.jsonl")).read().strip().splitlines()
+    assert len(rows) == 5  # 2 chunks of 2 + tail of 1
+
+    cfg_b = TrainConfig(save_dir=str(tmp_path / "loop"), scan_epoch=False, **base)
+    op_b = TrainOP(cfg_b, LossConfig(), assets)
+    metrics_b = op_b.train(SyntheticBatchGenerator(num_scenes=3, batches_per_epoch=5, seed=2))
+
+    assert np.isfinite(metrics_a["loss"])
+    np.testing.assert_allclose(metrics_a["loss"], metrics_b["loss"], rtol=5e-4, atol=1e-5)
+    # scan-compiled vs standalone-compiled step: same math, different
+    # fusions; Adam turns near-zero-grad rounding differences into +-lr
+    # tie-flips (see tests/test_multichip.py docstring) -> bound max by
+    # 2.5*lr and the mean much tighter
+    lr = cfg_a.init_lr_h
+    for a, b in zip(jax.tree.leaves(op_a.state.params), jax.tree.leaves(op_b.state.params)):
+        d = np.abs(np.asarray(a) - np.asarray(b))
+        assert d.max() < 2.5 * lr * 5, f"max param drift {d.max()}"
+        assert d.mean() < 0.05 * lr, f"mean param drift {d.mean()}"
