@@ -31,6 +31,7 @@ def build_parser():
     p = argparse.ArgumentParser()
     p.add_argument("--results_dir", type=str, required=True)
     p.add_argument("--mode", type=str, default="diversity", choices=["diversity", "collision"])
+    p.add_argument("--dataset", type=str, default="proxe", choices=["proxe", "habitat"])
     p.add_argument("--k", type=int, default=20)
     p.add_argument("--max_files", type=int, default=8000)
     from psi_tpu.cli.common import add_asset_args
@@ -61,8 +62,14 @@ def main(argv=None):
 
         assets, registry = build_assets(args)
         cam_ext = np.concatenate(
-            [np.asarray(r["cam_ext"], np.float32).reshape(1, 4, 4) for _, r in recs]
+            [np.asarray(r["cam_ext"], np.float32).reshape(-1, 4, 4)[:1] for _, r in recs]
         )
+        if args.dataset == "habitat":
+            # habitat world -> camera y/z flip, right-composed as in the
+            # reference eval (utils_eval_collision_habitat.py:163-168)
+            from psi_tpu.data.matfile import HABITAT_T_MAT
+
+            cam_ext = cam_ext @ HABITAT_T_MAT
         # scene index from the parent directory name when it matches the registry
         scene_idx = np.array(
             [

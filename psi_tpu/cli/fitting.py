@@ -67,13 +67,22 @@ def main(argv=None):
 
     assets, registry = build_assets(args, scene_names=scenes if not args.synthetic else None)
 
+    # Habitat bodies live in the habitat world frame; the reference right-
+    # composes a y/z flip into the extrinsics before every loss transform
+    # (fitting_habitat.py:177-184). PROX-E uses cam_ext as-is.
+    cam_post = None
+    if args.dataset == "habitat":
+        from psi_tpu.data.matfile import HABITAT_T_MAT
+
+        cam_post = HABITAT_T_MAT
+
     total = 0
     for si, scene in enumerate(scenes):
         gen_dir = os.path.join(args.gen_path, scene)
         if not os.path.isdir(gen_dir):
             continue
         scene_idx = registry.index_of(scene) if scene in registry.names else si % registry.num_scenes
-        op = FittingOP(assets, cfg, scene_idx=scene_idx)
+        op = FittingOP(assets, cfg, scene_idx=scene_idx, cam_post=cam_post)
         n = op.fitting_files(gen_dir, os.path.join(args.fit_path, scene), max_files=max_files)
         print(f"[INFO] {scene}: fitted {n} bodies")
         total += n

@@ -90,27 +90,43 @@ class BatchGeneratorTest:
 def load_habitat_snapshot(dump_dir: str, cam_id: int) -> Dict[str, np.ndarray]:
     """Habitat sensor dump triplet -> generation batch dict.
 
-    Files: cam_{i}.npy (4x4 world->cam or cam params), depth_{i}.npy,
-    seg_{i}.npy (test_habitat_s1.py:173-188). Habitat gives metric depth;
-    intrinsics follow the reference's synthesized pinhole (fx=fy=max
-    image dim scale)."""
+    Reference format (test_habitat_s1.py:173-188): ``cam_{i}.npy`` is a
+    pickled 0-d object array read as ``np.load(f, allow_pickle=True,
+    encoding='latin1').item()`` -> dict with keys ``cam_ext`` [4,4] and
+    ``cam_int`` [3,3]; ``depth_{i}.npy`` / ``seg_{i}.npy`` are raw [H,W]
+    sensor maps. A bare 4x4 matrix in cam_*.npy is also accepted (then a
+    90-deg-HFOV pinhole intrinsic is synthesized).
+
+    Reference quirk preserved: BOTH maps run through preprocessing with
+    modality='depth' (test_habitat_s1.py:181-184 passes 'depth' for the
+    seg map too, clamping labels at 6.0 before the [-1,1] rescale).
+    """
     depth_raw = np.load(os.path.join(dump_dir, f"depth_{cam_id}.npy")).astype(np.float32)
     seg_raw = np.load(os.path.join(dump_dir, f"seg_{cam_id}.npy")).astype(np.float32)
-    cam = np.load(os.path.join(dump_dir, f"cam_{cam_id}.npy")).astype(np.float32)
+    cam = np.load(
+        os.path.join(dump_dir, f"cam_{cam_id}.npy"), allow_pickle=True, encoding="latin1"
+    )
 
     depth, _, max_d = data_preprocessing(depth_raw, "depth")
-    seg, _, _ = data_preprocessing(seg_raw, "seg")
+    seg, _, _ = data_preprocessing(seg_raw, "depth")  # sic — reference behavior
 
-    h, w = depth_raw.shape
-    f = max(h, w) / 2.0  # 90-deg HFOV pinhole, the habitat default
-    cam_int = np.array(
-        [[f, 0, w / 2.0], [0, f, h / 2.0], [0, 0, 1.0]], np.float32
-    ).reshape(1, 3, 3)
-
-    if cam.shape == (4, 4):
-        cam_ext = cam.reshape(1, 4, 4)
+    cam_int = None
+    if cam.dtype == object:
+        params = cam.item()
+        cam_ext = np.asarray(params["cam_ext"], np.float32).reshape(1, 4, 4)
+        if "cam_int" in params:
+            cam_int = np.asarray(params["cam_int"], np.float32).reshape(1, 3, 3)
+    elif cam.shape == (4, 4):
+        cam_ext = cam.astype(np.float32).reshape(1, 4, 4)
     else:
         cam_ext = np.eye(4, dtype=np.float32).reshape(1, 4, 4)
+
+    if cam_int is None:
+        h, w = depth_raw.shape
+        f = max(h, w) / 2.0  # 90-deg HFOV pinhole, the habitat default
+        cam_int = np.array(
+            [[f, 0, w / 2.0], [0, f, h / 2.0], [0, 0, 1.0]], np.float32
+        ).reshape(1, 3, 3)
 
     xs = np.stack([depth, seg], axis=-1)[None]
     return {

@@ -207,11 +207,17 @@ class FittingOP:
         scene_idx: int,
         verbose: bool = False,
         max_population: int = 512,
+        cam_post: Optional[np.ndarray] = None,
     ):
         self.assets = assets
         self.cfg = cfg
         self.scene_idx = scene_idx
         self.verbose = verbose
+        # Optional right-composed 4x4 applied to every cam_ext before the
+        # loss transforms. The Habitat driver passes HABITAT_T_MAT here,
+        # matching the reference's trans = cam_ext @ T_mat
+        # (fitting_habitat.py:177-184, utils_eval_collision_habitat.py:163-168).
+        self.cam_post = None if cam_post is None else np.asarray(cam_post, np.float32).reshape(4, 4)
         # chunk very large populations to bound HBM (verts + autodiff
         # residuals scale with N); chunks pad to max_population so ONE
         # compiled program serves every chunk.
@@ -220,6 +226,8 @@ class FittingOP:
 
     def fit_population(self, x72: np.ndarray, cam_ext: np.ndarray):
         n = x72.shape[0]
+        if self.cam_post is not None:
+            cam_ext = np.asarray(cam_ext, np.float32) @ self.cam_post
         if n <= self.max_population:
             scene_idx = jnp.full((n,), self.scene_idx, jnp.int32)
             x_fitted, metrics, hist = self._fit(jnp.asarray(x72), jnp.asarray(cam_ext), scene_idx)
@@ -267,7 +275,11 @@ class FittingOP:
             return 0
 
         x72 = np.concatenate([np.asarray(body_params_parse(d)) for _, d in items], axis=0)
-        cam_ext = np.concatenate([np.asarray(d["cam_ext"], np.float32).reshape(1, 4, 4) for _, d in items])
+        # reference pkls store cam_ext tiled [n_samples,4,4]; the parser
+        # keeps row 0 (cvae.py body_params_parse_fitting takes [:1])
+        cam_ext = np.concatenate(
+            [np.asarray(d["cam_ext"], np.float32).reshape(-1, 4, 4)[:1] for _, d in items]
+        )
         x_fitted, _ = self.fit_population(x72, cam_ext)
 
         os.makedirs(fit_dir, exist_ok=True)
