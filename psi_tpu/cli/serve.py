@@ -2,7 +2,13 @@
 
 Request:  {"id": "r1", "npz": "<path to snapshot npz with xs/cam_int/cam_ext/max_d>",
            "n_samples": 32, "fit": true, "scene_idx": 0}
-Response: {"id": "r1", "n": 32, "latency_s": ..., "out": "<path written>"}
+Response: {"id": "r1", "n": 32, "latency_s": ..., "batch_size": ..., "out": "<path written>"}
+
+Requests are micro-batched: lines arriving while a program call is in
+flight (or within the linger window) coalesce into ONE device round-trip
+(ServingQueue). ``batch_size`` in the response says how many requests
+shared the program. The line ``stats`` emits queue statistics including
+p50/p99 end-to-end latency; a stats record is also emitted at shutdown.
 
   python -m psi_tpu.cli.serve --ckpt_dir ckpts --population 256 [--synthetic]
 """
@@ -22,6 +28,8 @@ def build_parser():
     p.add_argument("--population", type=int, default=256)
     p.add_argument("--latentD", type=int, default=256)
     p.add_argument("--out_dir", type=str, default="serve_out")
+    p.add_argument("--linger_ms", type=float, default=5.0,
+                   help="micro-batch window after the first queued request")
     from psi_tpu.cli.common import add_asset_args
 
     add_asset_args(p)
@@ -53,17 +61,56 @@ def main(argv=None, stdin=None, stdout=None):
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     assets, _ = build_assets(args)
 
+    from psi_tpu.serve import ServingQueue
+
     engine = GenerationEngine(model, variables, assets, population=args.population)
     warm = engine.warmup()
     print(json.dumps({"status": "ready", "warmup_s": round(warm, 2)}), file=stdout, flush=True)
 
+    q = ServingQueue(engine, linger_s=args.linger_ms / 1000.0)
     os.makedirs(args.out_dir, exist_ok=True)
+
+    import queue as _queue
+    import threading
+
+    done_q: "_queue.Queue" = _queue.Queue()
+
+    def _responder():
+        # prints responses in submission order as results resolve; the
+        # main thread stays free to read stdin, so bursts coalesce
+        while True:
+            item = done_q.get()
+            if item is None:
+                return
+            rid, fut = item
+            try:
+                res = fut.result()
+            except Exception as e:
+                print(json.dumps({"id": rid, "error": str(e)}), file=stdout, flush=True)
+                continue
+            out_path = os.path.join(args.out_dir, f"{rid}.npy")
+            np.save(out_path, res.bodies)
+            print(
+                json.dumps({
+                    "id": rid, "n": int(res.bodies.shape[0]),
+                    "latency_s": round(res.latency_s, 4),
+                    "batch_size": res.batch_size, "out": out_path,
+                }),
+                file=stdout, flush=True,
+            )
+
+    responder = threading.Thread(target=_responder, daemon=True)
+    responder.start()
+
     for line in stdin:
         line = line.strip()
         if not line:
             continue
         if line == "quit":
             break
+        if line == "stats":
+            print(json.dumps({"stats": q.stats()}), file=stdout, flush=True)
+            continue
         req = json.loads(line)
         batch = dict(np.load(req["npz"])) if "npz" in req else {
             "xs": np.zeros((1, 128, 128, 2), np.float32),
@@ -71,19 +118,16 @@ def main(argv=None, stdin=None, stdout=None):
             "cam_ext": np.eye(4, dtype=np.float32)[None],
             "max_d": np.asarray([6.0], np.float32),
         }
-        res = engine.generate(
+        fut = q.submit(
             batch, n_samples=req.get("n_samples"), fit=req.get("fit", False),
             scene_idx=req.get("scene_idx", 0),
         )
-        out_path = os.path.join(args.out_dir, f"{req.get('id', 'req')}.npy")
-        np.save(out_path, res.bodies)
-        print(
-            json.dumps({
-                "id": req.get("id"), "n": int(res.bodies.shape[0]),
-                "latency_s": round(res.latency_s, 4), "out": out_path,
-            }),
-            file=stdout, flush=True,
-        )
+        done_q.put((req.get("id", "req"), fut))
+
+    q.stop()  # drains outstanding requests
+    done_q.put(None)
+    responder.join()
+    print(json.dumps({"stats": q.stats()}), file=stdout, flush=True)
 
 
 if __name__ == "__main__":

@@ -56,6 +56,38 @@ def generate_bodies(
     return _generate(model, variables, xs, cam_int, max_d, n_samples, key)
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _generate_rows(model, variables, xs_stack, cam_int_stack, max_d_stack, req_idx, key):
+    """Coalesced multi-request sampling: xs_stack [R, H, W, 2] holds the
+    R distinct snapshots of a serving micro-batch, req_idx [P] maps each
+    of the P population rows to its request. The gather happens on
+    device so the compiled shape is fixed at (R, P) regardless of how
+    many requests were coalesced. Returns [P, 72]."""
+    xs_rows = jnp.take(xs_stack, req_idx, axis=0)
+    cam_int_rows = jnp.take(cam_int_stack, req_idx, axis=0)
+    max_d_rows = jnp.take(max_d_stack.reshape(-1), req_idx, axis=0)
+    if isinstance(model, HumanCVAES1):
+        xhnr = model.apply(variables, xs_rows, key, method=HumanCVAES1.sample)
+    else:
+        xhnr = model.apply(variables, xs_rows, key, method=HumanCVAES2.sample)
+    xhn = convert_to_3D_rot(xhnr)
+    return recover_global_T(xhn, cam_int_rows, max_d_rows)
+
+
+def generate_bodies_rows(
+    model,
+    variables,
+    xs_stack: jax.Array,
+    cam_int_stack: jax.Array,
+    max_d_stack: jax.Array,
+    req_idx: jax.Array,
+    key: jax.Array,
+) -> jax.Array:
+    """Sample one body per population row, row r conditioned on snapshot
+    xs_stack[req_idx[r]] — the serving engine's coalesced path."""
+    return _generate_rows(model, variables, xs_stack, cam_int_stack, max_d_stack, req_idx, key)
+
+
 def generate_bodies_line(
     model,
     variables,

@@ -1,3 +1,3 @@
-from psi_tpu.serve.engine import GenerationEngine
+from psi_tpu.serve.engine import GenerationEngine, ServeResult, ServingQueue
 
-__all__ = ["GenerationEngine"]
+__all__ = ["GenerationEngine", "ServeResult", "ServingQueue"]

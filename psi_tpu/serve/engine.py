@@ -1,25 +1,32 @@
-"""Serving engine: warm, fixed-shape generate(+fit) with request batching.
+"""Serving engine: warm, fixed-shape generate(+fit) with request coalescing.
 
 The reference has no serving stack (SURVEY.md); this is the TPU-native
 production path: programs are compiled once at startup for a fixed
-population size, requests are padded into that shape, and each call is
-a single device round-trip. Exposed as an in-process API plus a
-JSONL stdin/stdout loop (psi_tpu.cli.serve) so it composes with any
+population size. A single request pads into that shape; CONCURRENT
+requests are coalesced by ``ServingQueue`` into one device round-trip —
+population rows are partitioned across the queued requests and each row
+is conditioned on its own request's snapshot via a device-side gather
+(gen/sample.py::_generate_rows), so N small requests cost one program
+execution instead of N. Exposed as an in-process API plus a JSONL
+stdin/stdout loop (psi_tpu.cli.serve) so it composes with any
 process-level server.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import queue
+import threading
 import time
-from typing import Any, Dict, Optional
+from concurrent.futures import Future
+from typing import Any, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from psi_tpu.fit.fitting import make_fit_step
-from psi_tpu.gen.sample import generate_bodies
+from psi_tpu.gen.sample import generate_bodies, generate_bodies_rows
 from psi_tpu.train.objective import SceneAssets
 from psi_tpu.utils.config import FitConfig
 
@@ -29,6 +36,7 @@ class ServeResult:
     bodies: np.ndarray  # [n, 72]
     fitted: bool
     latency_s: float
+    batch_size: int = 1  # requests coalesced into the program call
 
 
 class GenerationEngine:
@@ -43,18 +51,19 @@ class GenerationEngine:
         population: int = 256,
         fit_cfg: Optional[FitConfig] = None,
         seed: int = 0,
+        max_requests: int = 16,
     ):
         self.model = model
         self.variables = variables
         self.assets = assets
         self.population = population
         self.fit_cfg = fit_cfg or FitConfig()
+        self.max_requests = max_requests  # compiled request-slot count
         self._fit = make_fit_step(assets, self.fit_cfg)
         self._key = jax.random.PRNGKey(seed)
+        self._lock = threading.Lock()  # device programs are not re-entrant
 
-    def warmup(self, image_size: int = 128) -> float:
-        """Compile both programs; returns warmup seconds."""
-        t0 = time.time()
+    def _dummy_batch(self, image_size: int = 128) -> Dict[str, np.ndarray]:
         batch = {
             "xs": np.zeros((1, image_size, image_size, 2), np.float32),
             "cam_int": np.eye(3, dtype=np.float32)[None] * 500,
@@ -62,7 +71,21 @@ class GenerationEngine:
             "max_d": np.asarray([6.0], np.float32),
         }
         batch["cam_int"][0, 2, 2] = 1.0
+        return batch
+
+    def warmup(self, image_size: int = 128) -> float:
+        """Compile the single-request, coalesced, and fit programs;
+        returns warmup seconds."""
+        t0 = time.time()
+        batch = self._dummy_batch(image_size)
         self.generate(batch, fit=True, scene_idx=0)
+        self.generate_coalesced(
+            [
+                {"batch": batch, "n_samples": 1, "scene_idx": 0},
+                {"batch": batch, "n_samples": 1, "scene_idx": 0},
+            ],
+            fit=True,
+        )
         return time.time() - t0
 
     def _next_key(self):
@@ -81,16 +104,191 @@ class GenerationEngine:
         always runs at the compiled population size; extras are dropped)."""
         n = min(n_samples or self.population, self.population)
         t0 = time.time()
-        x72 = generate_bodies(
-            self.model, self.variables,
-            jnp.asarray(batch["xs"]), jnp.asarray(batch["cam_int"]).reshape(1, 3, 3),
-            jnp.asarray(batch["max_d"]).reshape(1), self.population, self._next_key(),
-        )
-        if fit:
-            cam_ext = jnp.broadcast_to(
-                jnp.asarray(batch["cam_ext"]).reshape(1, 4, 4), (self.population, 4, 4)
+        with self._lock:
+            x72 = generate_bodies(
+                self.model, self.variables,
+                jnp.asarray(batch["xs"]), jnp.asarray(batch["cam_int"]).reshape(1, 3, 3),
+                jnp.asarray(batch["max_d"]).reshape(1), self.population, self._next_key(),
             )
-            sidx = jnp.full((self.population,), scene_idx, jnp.int32)
-            x72, _, _ = self._fit(x72, cam_ext, sidx)
-        out = np.asarray(x72[:n])
+            if fit:
+                cam_ext = jnp.broadcast_to(
+                    jnp.asarray(batch["cam_ext"]).reshape(1, 4, 4), (self.population, 4, 4)
+                )
+                sidx = jnp.full((self.population,), scene_idx, jnp.int32)
+                x72, _, _ = self._fit(x72, cam_ext, sidx)
+            out = np.asarray(x72[:n])
         return ServeResult(bodies=out, fitted=fit, latency_s=time.time() - t0)
+
+    def generate_coalesced(
+        self, requests: Sequence[Dict[str, Any]], fit: bool = False
+    ) -> List[ServeResult]:
+        """Run several requests as ONE device program: population rows are
+        partitioned across the requests, each row conditioned on its own
+        request's snapshot. requests: dicts with keys ``batch`` (snapshot
+        dict), ``n_samples``, ``scene_idx``. Sum of n_samples must fit in
+        the compiled population; at most ``max_requests`` requests.
+        Returns one ServeResult per request, in order."""
+        if len(requests) > self.max_requests:
+            raise ValueError(f"{len(requests)} requests > max_requests={self.max_requests}")
+        counts = [min(int(r.get("n_samples") or self.population), self.population) for r in requests]
+        if sum(counts) > self.population:
+            raise ValueError(f"sum(n_samples)={sum(counts)} exceeds population={self.population}")
+
+        R = self.max_requests  # fixed compiled slot count
+        img = np.asarray(requests[0]["batch"]["xs"], np.float32)
+        xs_stack = np.zeros((R,) + img.shape[1:], np.float32)
+        cam_int_stack = np.tile(np.eye(3, dtype=np.float32)[None], (R, 1, 1))
+        max_d_stack = np.full((R,), 6.0, np.float32)
+        req_idx = np.zeros((self.population,), np.int32)
+        cam_ext_rows = np.tile(np.eye(4, dtype=np.float32)[None], (self.population, 1, 1))
+        sidx_rows = np.zeros((self.population,), np.int32)
+
+        offset = 0
+        for ri, (req, n) in enumerate(zip(requests, counts)):
+            b = req["batch"]
+            xs_stack[ri] = np.asarray(b["xs"], np.float32).reshape(img.shape[1:])
+            cam_int_stack[ri] = np.asarray(b["cam_int"], np.float32).reshape(3, 3)
+            max_d_stack[ri] = np.asarray(b["max_d"], np.float32).reshape(-1)[0]
+            req_idx[offset : offset + n] = ri
+            cam_ext_rows[offset : offset + n] = np.asarray(b["cam_ext"], np.float32).reshape(-1, 4, 4)[:1]
+            sidx_rows[offset : offset + n] = int(req.get("scene_idx", 0))
+            offset += n
+        # padding rows recompute request 0 and are discarded on slice-out
+
+        t0 = time.time()
+        with self._lock:
+            x72 = generate_bodies_rows(
+                self.model, self.variables,
+                jnp.asarray(xs_stack), jnp.asarray(cam_int_stack),
+                jnp.asarray(max_d_stack), jnp.asarray(req_idx), self._next_key(),
+            )
+            if fit:
+                x72, _, _ = self._fit(x72, jnp.asarray(cam_ext_rows), jnp.asarray(sidx_rows))
+            host = np.asarray(x72)
+        latency = time.time() - t0
+
+        results, offset = [], 0
+        for n in counts:
+            results.append(
+                ServeResult(
+                    bodies=host[offset : offset + n].copy(), fitted=fit,
+                    latency_s=latency, batch_size=len(requests),
+                )
+            )
+            offset += n
+        return results
+
+
+_STOP = object()
+
+
+@dataclasses.dataclass
+class _Queued:
+    req: Dict[str, Any]
+    fit: bool
+    future: Future
+    submit_t: float
+
+
+class ServingQueue:
+    """Micro-batching front end over a GenerationEngine.
+
+    Concurrent ``submit()`` calls coalesce: a worker thread drains the
+    queue into groups (same fit flag, total rows <= population, at most
+    ``engine.max_requests`` requests), lingering ``linger_s`` after the
+    first request of a group to let a burst accumulate, then runs each
+    group as one ``generate_coalesced`` program call. Latency is
+    end-to-end (submit -> result ready) and tracked for p50/p99.
+    """
+
+    def __init__(self, engine: GenerationEngine, linger_s: float = 0.005):
+        self.engine = engine
+        self.linger_s = linger_s
+        self._q: "queue.Queue[Any]" = queue.Queue()
+        self._carry: Optional[Any] = None
+        self._stats_lock = threading.Lock()
+        self._latencies: List[float] = []
+        self._requests = 0
+        self._batches = 0
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(
+        self,
+        batch: Dict[str, np.ndarray],
+        n_samples: Optional[int] = None,
+        fit: bool = False,
+        scene_idx: int = 0,
+    ) -> Future:
+        """Enqueue one request; returns a Future resolving to ServeResult."""
+        fut: Future = Future()
+        self._q.put(
+            _Queued(
+                req={"batch": batch, "n_samples": n_samples, "scene_idx": scene_idx},
+                fit=fit, future=fut, submit_t=time.time(),
+            )
+        )
+        return fut
+
+    def stop(self):
+        """Drain outstanding requests, then stop the worker."""
+        self._q.put(_STOP)
+        self._worker.join()
+
+    def stats(self) -> Dict[str, Any]:
+        with self._stats_lock:
+            lat = np.asarray(self._latencies, np.float64)
+            out = {"requests": self._requests, "batches": self._batches}
+        if lat.size:
+            out["latency_p50_s"] = float(np.percentile(lat, 50))
+            out["latency_p99_s"] = float(np.percentile(lat, 99))
+        return out
+
+    def _rows(self, item) -> int:
+        return min(int(item.req.get("n_samples") or self.engine.population), self.engine.population)
+
+    def _next_group(self) -> Optional[List[_Queued]]:
+        first = self._carry
+        self._carry = None
+        if first is None:
+            first = self._q.get()
+        if first is _STOP:
+            return None
+        group, rows = [first], self._rows(first)
+        deadline = time.time() + self.linger_s
+        while rows < self.engine.population and len(group) < self.engine.max_requests:
+            timeout = deadline - time.time()
+            try:
+                nxt = self._q.get(timeout=max(timeout, 0.0)) if timeout > 0 else self._q.get_nowait()
+            except queue.Empty:
+                break
+            if nxt is _STOP:
+                self._carry = _STOP
+                break
+            if nxt.fit != first.fit or rows + self._rows(nxt) > self.engine.population:
+                self._carry = nxt  # incompatible: starts the next group
+                break
+            group.append(nxt)
+            rows += self._rows(nxt)
+        return group
+
+    def _run(self):
+        while True:
+            group = self._next_group()
+            if group is None:
+                return
+            try:
+                results = self.engine.generate_coalesced([g.req for g in group], fit=group[0].fit)
+            except Exception as e:  # surface failures to every caller in the group
+                for g in group:
+                    g.future.set_exception(e)
+                continue
+            done_t = time.time()
+            with self._stats_lock:
+                self._batches += 1
+                self._requests += len(group)
+                for g in group:
+                    self._latencies.append(done_t - g.submit_t)
+            for g, r in zip(group, results):
+                r.latency_s = done_t - g.submit_t  # end-to-end, incl. queue wait
+                g.future.set_result(r)

@@ -4,12 +4,13 @@ import io
 import json
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
 from psi_tpu.data.synthetic import make_synthetic_assets
 from psi_tpu.models import HumanCVAES1
-from psi_tpu.serve import GenerationEngine
+from psi_tpu.serve import GenerationEngine, ServingQueue
 from psi_tpu.utils.config import FitConfig
 
 
@@ -37,17 +38,103 @@ def test_engine_generate_and_fit():
     assert np.all(np.isfinite(r2.bodies))
 
 
+def _tiny_engine(population=8, max_requests=4):
+    assets, _ = make_synthetic_assets(
+        num_verts=100, num_joints=12, num_scenes=2, sdf_dim=16, scene_points=200, n_contact=32
+    )
+    mdl = HumanCVAES1(latentD=32)
+    variables = mdl.init(jax.random.PRNGKey(0), jnp.zeros((1, 75)), jnp.zeros((1, 128, 128, 2)))
+    return GenerationEngine(
+        mdl, variables, assets, population=population,
+        fit_cfg=FitConfig(num_iter=2), max_requests=max_requests,
+    )
+
+
+def _snapshot(depth=6.0):
+    return {
+        "xs": np.zeros((1, 128, 128, 2), np.float32),
+        "cam_int": np.eye(3, dtype=np.float32)[None] * 500,
+        "cam_ext": np.eye(4, dtype=np.float32)[None],
+        "max_d": np.asarray([depth], np.float32),
+    }
+
+
+def test_generate_coalesced_splits_rows():
+    eng = _tiny_engine()
+    reqs = [
+        {"batch": _snapshot(), "n_samples": 3, "scene_idx": 0},
+        {"batch": _snapshot(5.0), "n_samples": 2, "scene_idx": 1},
+        {"batch": _snapshot(4.0), "n_samples": 3, "scene_idx": 0},
+    ]
+    results = eng.generate_coalesced(reqs, fit=True)
+    assert [r.bodies.shape for r in results] == [(3, 72), (2, 72), (3, 72)]
+    assert all(r.batch_size == 3 and r.fitted for r in results)
+    assert all(np.isfinite(r.bodies).all() for r in results)
+    # distinct snapshots (different max_d) must condition their own rows:
+    # recover_global_T scales depth by max_d, so populations differ
+    assert not np.allclose(results[0].bodies[:2], results[1].bodies)
+
+    # over-capacity and over-slot-count are rejected, not silently truncated
+    with pytest.raises(ValueError):
+        eng.generate_coalesced([{"batch": _snapshot(), "n_samples": 6}] * 2)
+    with pytest.raises(ValueError):
+        eng.generate_coalesced([{"batch": _snapshot(), "n_samples": 1}] * 5)
+
+
+def test_serving_queue_coalesces_concurrent_requests():
+    eng = _tiny_engine()
+    eng.warmup()
+    q = ServingQueue(eng, linger_s=0.25)  # wide window: the burst must share programs
+    futs = [q.submit(_snapshot(), n_samples=2, fit=False, scene_idx=i % 2) for i in range(4)]
+    results = [f.result(timeout=120) for f in futs]
+    q.stop()
+    assert all(r.bodies.shape == (2, 72) for r in results)
+    stats = q.stats()
+    assert stats["requests"] == 4
+    # 4 requests x 2 rows fit in one 8-row program (max_requests=4)
+    assert stats["batches"] < 4
+    assert any(r.batch_size > 1 for r in results)
+    assert "latency_p50_s" in stats and "latency_p99_s" in stats
+    assert stats["latency_p99_s"] >= stats["latency_p50_s"]
+
+
+def test_serving_queue_groups_by_fit_flag():
+    eng = _tiny_engine()
+    eng.warmup()
+    q = ServingQueue(eng, linger_s=0.25)
+    f1 = q.submit(_snapshot(), n_samples=2, fit=False)
+    f2 = q.submit(_snapshot(), n_samples=2, fit=True)
+    r1, r2 = f1.result(timeout=120), f2.result(timeout=120)
+    q.stop()
+    assert not r1.fitted and r2.fitted
+    assert q.stats()["batches"] == 2  # incompatible fit flags never share a program
+
+
 def test_serve_cli_loop(tmp_path):
     from psi_tpu.cli import serve as cli_serve
 
-    stdin = io.StringIO(json.dumps({"id": "a", "n_samples": 3}) + "\nquit\n")
+    reqs = (
+        json.dumps({"id": "a", "n_samples": 3})
+        + "\n"
+        + json.dumps({"id": "b", "n_samples": 1})
+        + "\nstats\nquit\n"
+    )
+    stdin = io.StringIO(reqs)
     stdout = io.StringIO()
     cli_serve.main(
-        ["--latentD", "32", "--population", "4", "--synthetic", "--out_dir", str(tmp_path)],
+        ["--latentD", "32", "--population", "4", "--synthetic", "--out_dir", str(tmp_path),
+         "--linger_ms", "250"],
         stdin=stdin, stdout=stdout,
     )
     lines = [json.loads(l) for l in stdout.getvalue().strip().splitlines()]
     assert lines[0]["status"] == "ready"
-    assert lines[1]["id"] == "a" and lines[1]["n"] == 3
-    out = np.load(lines[1]["out"])
+    by_id = {l["id"]: l for l in lines if "id" in l}
+    assert by_id["a"]["n"] == 3 and by_id["b"]["n"] == 1
+    assert "batch_size" in by_id["a"]
+    out = np.load(by_id["a"]["out"])
     assert out.shape == (3, 72)
+    stats_lines = [l for l in lines if "stats" in l]
+    assert stats_lines, "stats line missing"
+    final = stats_lines[-1]["stats"]
+    assert final["requests"] == 2
+    assert "latency_p50_s" in final and "latency_p99_s" in final
