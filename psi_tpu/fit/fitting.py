@@ -61,7 +61,12 @@ def _per_body_losses(
     xh = convert_to_3D_rot(xhr)  # [N, 72]
     loss_vposer = cfg.weight_loss_vposer * jnp.mean(xh[:, 16:48] ** 2, axis=1)
 
-    verts, _ = body_vec_to_verts(assets.smplx, assets.vposer_params, xh, cam_ext)
+    def _decode(xh_):
+        return body_vec_to_verts(assets.smplx, assets.vposer_params, xh_, cam_ext)[0]
+
+    if cfg.remat_decode:
+        _decode = jax.checkpoint(_decode)
+    verts = _decode(xh)
     contact_verts = verts[:, assets.contact_vids, :]
     scene_pts = assets.scene_verts[scene_idx]
     if cfg.prune_scene_points and cfg.prune_scene_points < scene_pts.shape[1]:

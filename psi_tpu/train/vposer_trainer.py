@@ -56,6 +56,7 @@ class VPoserTrainer:
         dataset_dir: str,
         body_model: SMPLXModel,
         logger=None,
+        mesh=None,
     ):
         self.cfg = cfg
         self.work_dir = makepath(work_dir)
@@ -82,6 +83,18 @@ class VPoserTrainer:
         schedule = optax.piecewise_constant_schedule(cfg.base_lr, boundaries)
         self.optimizer = optax.adamw(schedule, weight_decay=cfg.reg_coef)
         self.opt_state = self.optimizer.init(self.variables["params"])
+
+        # Data-parallel over a jax.sharding.Mesh: params/opt state are
+        # replicated, each batch's leading axis is sharded over 'dp', and
+        # GSPMD inserts the gradient all-reduce — the TPU-native version
+        # of the reference's unused nn.DataParallel path
+        # (vposer_smpl.py:221-222).
+        self.mesh = mesh
+        if mesh is not None:
+            from psi_tpu.parallel.mesh import replicate
+
+            self.variables = replicate(self.variables, mesh)
+            self.opt_state = replicate(self.opt_state, mesh)
 
         self.best_loss_total = np.inf
         self.best_model_fname: Optional[str] = None
@@ -148,6 +161,14 @@ class VPoserTrainer:
             return losses
         return jax.jit(estep)
 
+    def _place(self, batch: np.ndarray) -> jax.Array:
+        arr = jnp.asarray(batch)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            arr = jax.device_put(arr, NamedSharding(self.mesh, P("dp")))
+        return arr
+
     # ------------------------------------------------------------------
     def train_epoch(self) -> Dict[str, float]:
         cfg = self.cfg
@@ -159,7 +180,7 @@ class VPoserTrainer:
         for batch in self.ds_train.batches(cfg.batch_size, self._rng):
             self._key, k = jax.random.split(self._key)
             params, bs, self.opt_state, losses = self._train_step(
-                params, bs, self.opt_state, jnp.asarray(batch), k, ep
+                params, bs, self.opt_state, self._place(batch), k, ep
             )
             for kk, v in losses.items():
                 totals[kk] = totals.get(kk, 0.0) + float(v)
@@ -175,7 +196,7 @@ class VPoserTrainer:
         count = 0
         ep = jnp.int32(self.epochs_completed)
         for batch in ds.batches(self.cfg.batch_size, self._rng):
-            losses = self._eval_step(params, bs, jnp.asarray(batch), ep)
+            losses = self._eval_step(params, bs, self._place(batch), ep)
             for kk, v in losses.items():
                 totals[kk] = totals.get(kk, 0.0) + float(v)
             count += 1

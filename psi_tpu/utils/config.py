@@ -88,6 +88,10 @@ class FitConfig:
     # re-runs every iteration with K >> the NN's centroid-distance rank;
     # equality is asserted in tests/test_fit_prune.py). 0 = exact full set.
     prune_scene_points: int = 1024
+    # rematerialize the VPoser-decode -> LBS chain in the backward pass
+    # instead of storing its [N, V, ...] residuals (HBM-bound path —
+    # trades MXU FLOPs, which are underutilized here, for HBM traffic)
+    remat_decode: bool = False
 
 
 def save_config(cfg, path: str) -> None:

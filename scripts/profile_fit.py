@@ -111,6 +111,7 @@ def main():
         "production": dict(),  # real make_fit_step, FitConfig defaults
         "production_noprune": dict(),
         "production_bf16sdf": dict(),
+        "production_remat": dict(),  # FitConfig(remat_decode=True)
     }
     which = sys.argv[1:] or list(variants)
 
@@ -142,7 +143,11 @@ def main():
             else:
                 assets_p = assets
             pk = 0 if name == "production_noprune" else FitConfig().prune_scene_points
-            real = make_fit_step(assets_p, FitConfig(num_iter=NUM_ITER, prune_scene_points=pk))
+            real = make_fit_step(
+                assets_p,
+                FitConfig(num_iter=NUM_ITER, prune_scene_points=pk,
+                          remat_decode=(name == "production_remat")),
+            )
             fit = lambda a, b, c: real(a, b, c)[0]
         else:
             fit = build_fit(assets, cfg, **variants[name])

@@ -60,3 +60,36 @@ def test_fitting_with_pruning_matches_exact():
     np.testing.assert_allclose(
         np.asarray(m_pruned["total"]), np.asarray(m_exact["total"]), atol=1e-5, rtol=1e-5
     )
+
+
+def test_remat_decode_equivalence():
+    """FitConfig(remat_decode=True) is semantically the same computation —
+    remat only changes WHEN the decode runs. XLA refuses the recomputed
+    graph slightly differently, and Adam's normalized updates amplify
+    ulp-level differences iteration-over-iteration (the documented
+    tie-flip bound, see tests/test_multichip.py), so the bound is loose
+    float32 equality, not bitwise."""
+    from psi_tpu.data.synthetic import make_synthetic_assets
+    from psi_tpu.fit import make_fit_step
+    from psi_tpu.utils.config import FitConfig
+    import jax.numpy as jnp
+
+    assets, _ = make_synthetic_assets(
+        num_verts=256, num_joints=12, num_scenes=2, sdf_dim=16, scene_points=512, n_contact=64
+    )
+    rng = np.random.default_rng(7)
+    n = 8
+    x72 = (rng.normal(size=(n, 72)) * 0.3).astype(np.float32)
+    x72[:, 2] += 3.0
+    cam_ext = jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (n, 1, 1)))
+    scene_idx = jnp.zeros(n, jnp.int32)
+    x72 = jnp.asarray(x72)
+
+    x_plain, m_plain, _ = make_fit_step(assets, FitConfig(num_iter=6))(x72, cam_ext, scene_idx)
+    x_remat, m_remat, _ = make_fit_step(assets, FitConfig(num_iter=6, remat_decode=True))(
+        x72, cam_ext, scene_idx
+    )
+    np.testing.assert_allclose(np.asarray(x_remat), np.asarray(x_plain), atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(m_remat["total"]), np.asarray(m_plain["total"]), atol=1e-4, rtol=1e-4
+    )

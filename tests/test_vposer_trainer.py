@@ -66,3 +66,32 @@ def test_early_stopping():
     assert not es(0.5)
     assert not es(0.6)
     assert es(0.7)  # two non-improvements -> stop
+
+
+def test_vposer_trainer_dp_mesh_equivalence(tmp_path):
+    """One epoch on an 8-device DP mesh == one epoch single-device (same
+    seeds, same data): params replicated + batch sharded must reproduce
+    the unsharded parameter trajectory within float tolerance."""
+    import jax
+    import jax.numpy as jnp
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    from psi_tpu.parallel.mesh import make_mesh
+
+    make_synthetic_amass(str(tmp_path / "data"), n_train=64, n_val=32)
+    bm = synthetic_smplx(num_verts=80, num_joints=22, seed=0)
+    cfg = VPoserTrainConfig(num_neurons=64, batch_size=16, num_epochs=1, num_joints=21)
+
+    tr_single = VPoserTrainer(str(tmp_path / "w1"), cfg, str(tmp_path / "data"), bm)
+    tr_mesh = VPoserTrainer(
+        str(tmp_path / "w2"), cfg, str(tmp_path / "data"), bm, mesh=make_mesh(8)
+    )
+    l1 = tr_single.train_epoch()
+    l2 = tr_mesh.train_epoch()
+    assert abs(l1["loss_total"] - l2["loss_total"]) < 1e-3 * max(1.0, abs(l1["loss_total"]))
+    flat1 = jax.tree_util.tree_leaves(tr_single.variables["params"])
+    flat2 = jax.tree_util.tree_leaves(tr_mesh.variables["params"])
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4)
