@@ -31,12 +31,15 @@ from psi_tpu.models import HumanCVAES1, HumanCVAES2
 
 @functools.partial(jax.jit, static_argnums=(0, 5))
 def _generate(model, variables, xs, cam_int, max_d, n_samples, key):
-    """xs: [1, H, W, 2]; returns [n_samples, 72] metric body vectors."""
-    xs_n = jnp.broadcast_to(xs, (n_samples,) + xs.shape[1:])
+    """xs: [1, H, W, 2]; returns [n_samples, 72] metric body vectors.
+
+    The scene trunk runs ONCE (sample_n encodes the single snapshot and
+    broadcasts the feature) — the reference repeats the image and
+    re-runs the trunk per sample (test_proxe_s1.py:104)."""
     if isinstance(model, HumanCVAES1):
-        xhnr = model.apply(variables, xs_n, key, method=HumanCVAES1.sample)
+        xhnr = model.apply(variables, xs, n_samples, key, method=HumanCVAES1.sample_n)
     else:
-        xhnr = model.apply(variables, xs_n, key, method=HumanCVAES2.sample)
+        xhnr = model.apply(variables, xs, n_samples, key, method=HumanCVAES2.sample_n)
     xhn = convert_to_3D_rot(xhnr)
     cam_int_n = jnp.broadcast_to(cam_int, (n_samples, 3, 3))
     max_d_n = jnp.broadcast_to(max_d.reshape(1), (n_samples,))
@@ -63,13 +66,21 @@ def _generate_rows(model, variables, xs_stack, cam_int_stack, max_d_stack, req_i
     of the P population rows to its request. The gather happens on
     device so the compiled shape is fixed at (R, P) regardless of how
     many requests were coalesced. Returns [P, 72]."""
-    xs_rows = jnp.take(xs_stack, req_idx, axis=0)
     cam_int_rows = jnp.take(cam_int_stack, req_idx, axis=0)
     max_d_rows = jnp.take(max_d_stack.reshape(-1), req_idx, axis=0)
+    # trunk cost is R snapshot encodes (not P row encodes): encode the
+    # stack once, gather features per row
     if isinstance(model, HumanCVAES1):
-        xhnr = model.apply(variables, xs_rows, key, method=HumanCVAES1.sample)
+        z_s = model.apply(variables, xs_stack, method=HumanCVAES1.encode_scene)
+        xhnr = model.apply(
+            variables, jnp.take(z_s, req_idx, axis=0), key, method=HumanCVAES1.sample_with_feat
+        )
     else:
-        xhnr = model.apply(variables, xs_rows, key, method=HumanCVAES2.sample)
+        z_g, z_l = model.apply(variables, xs_stack, method=HumanCVAES2.encode_scenes)
+        xhnr = model.apply(
+            variables, jnp.take(z_g, req_idx, axis=0), jnp.take(z_l, req_idx, axis=0),
+            key, method=HumanCVAES2.sample_with_feats,
+        )
     xhn = convert_to_3D_rot(xhnr)
     return recover_global_T(xhn, cam_int_rows, max_d_rows)
 

@@ -85,3 +85,21 @@ class HumanCVAES1(nn.Module):
         cvae.py:516-534)."""
         z_s = self.encode_scene(x_s, train)
         return self._decode(eps, z_s)
+
+    def sample_with_feat(self, z_s: jax.Array, key: jax.Array) -> jax.Array:
+        """Prior draws from precomputed scene features [n, latentD] — the
+        serving engine's coalesced path encodes each distinct snapshot
+        once and gathers features per population row."""
+        eps = jax.random.normal(key, (z_s.shape[0], self.eps_d), z_s.dtype)
+        return self._decode(eps, z_s)
+
+    def sample_n(self, x_s: jax.Array, n: int, key: jax.Array, train: bool = False) -> jax.Array:
+        """n prior draws for ONE snapshot (x_s [1, H, W, 2]): the scene
+        trunk runs once and the feature broadcasts over the population —
+        same output as sample(broadcast(x_s, n), key) without n trunk
+        forwards. (The reference repeats the image and re-runs the trunk
+        per sample, test_proxe_s1.py:104.)"""
+        z_s = self.encode_scene(x_s, train)
+        z_s = jnp.broadcast_to(z_s, (n, z_s.shape[1]))
+        eps = jax.random.normal(key, (n, self.eps_d), z_s.dtype)
+        return self._decode(eps, z_s)

@@ -74,6 +74,13 @@ class BodyGlobalPoseVAE(nn.Module):
         z = jax.random.normal(key, (scene.shape[0], self.zdim), z_s.dtype)
         return self._decode(z, z_s)
 
+    def sample_n(self, scene: jax.Array, n: int, key: jax.Array, train: bool = False) -> jax.Array:
+        """n prior draws for ONE snapshot: trunk runs once, feature broadcasts."""
+        z_s = self.scene_enc(scene, train)
+        z_s = jnp.broadcast_to(z_s, (n, z_s.shape[1]))
+        z = jax.random.normal(key, (n, self.zdim), z_s.dtype)
+        return self._decode(z, z_s)
+
 
 class BodyLocalPoseVAE(nn.Module):
     zdim: int = 32
@@ -127,6 +134,16 @@ class BodyLocalPoseVAE(nn.Module):
         z = jax.random.normal(key, (scene.shape[0], self.zdim), z_s.dtype)
         return self._decode(z, z_g, z_s)
 
+    def sample_n(self, scene: jax.Array, torso: jax.Array, key: jax.Array, train: bool = False) -> jax.Array:
+        """Prior draws for ONE snapshot and a per-row torso [n, 3]:
+        trunk runs once, feature broadcasts over the torso rows."""
+        n = torso.shape[0]
+        z_s = self.scene_enc(scene, train)
+        z_s = jnp.broadcast_to(z_s, (n, z_s.shape[1]))
+        z_g = self.torso_linear(torso)
+        z = jax.random.normal(key, (n, self.zdim), z_s.dtype)
+        return self._decode(z, z_g, z_s)
+
 
 class HumanCVAES2(nn.Module):
     """Two-stage CVAE (cvae.py:341-400). n_dim_body includes the 3-D
@@ -169,4 +186,27 @@ class HumanCVAES2(nn.Module):
         kg, kl = jax.random.split(key)
         x_g = self.trans_vae.sample(x_s, kg, train)
         x_l = self.pose_vae.sample(x_s, x_g, kl, train)
+        return jnp.concatenate([x_g, x_l], axis=1)
+
+    def sample_n(self, x_s: jax.Array, n: int, key: jax.Array, train: bool = False) -> jax.Array:
+        """Chained prior sampling for ONE snapshot (x_s [1, H, W, 2]):
+        each sub-VAE's trunk runs once instead of n times."""
+        kg, kl = jax.random.split(key)
+        x_g = self.trans_vae.sample_n(x_s, n, kg, train)
+        x_l = self.pose_vae.sample_n(x_s, x_g, kl, train)
+        return jnp.concatenate([x_g, x_l], axis=1)
+
+    def encode_scenes(self, x_s: jax.Array, train: bool = False):
+        """Both sub-VAE scene features for a snapshot stack [R, H, W, 2]."""
+        return self.trans_vae.scene_enc(x_s, train), self.pose_vae.scene_enc(x_s, train)
+
+    def sample_with_feats(self, z_s_g: jax.Array, z_s_l: jax.Array, key: jax.Array) -> jax.Array:
+        """Chained prior draws from precomputed per-row scene features."""
+        n = z_s_g.shape[0]
+        kg, kl = jax.random.split(key)
+        zg = jax.random.normal(kg, (n, self.trans_vae.zdim), z_s_g.dtype)
+        x_g = self.trans_vae._decode(zg, z_s_g)
+        z_gl = self.pose_vae.torso_linear(x_g)
+        zl = jax.random.normal(kl, (n, self.pose_vae.zdim), z_s_l.dtype)
+        x_l = self.pose_vae._decode(zl, z_gl, z_s_l)
         return jnp.concatenate([x_g, x_l], axis=1)

@@ -115,3 +115,40 @@ def test_cvae_s1_param_count_scales():
     assert mu_kernel.shape == (512, 32)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(vars_["params"]))
     assert 1e6 < n_params < 50e6
+
+
+def test_cvae_s1_sample_n_matches_broadcast(s1_setup, rng):
+    """sample_n (trunk once + feature broadcast) must equal sample on the
+    population-tiled snapshot: identical eps draw, identical decode."""
+    mdl, vars_ = s1_setup
+    x_s1 = jnp.asarray(rng.normal(size=(1, 128, 128, 2)).astype(np.float32))
+    n = 6
+    key = jax.random.PRNGKey(4)
+    fast = mdl.apply(vars_, x_s1, n, key, method=HumanCVAES1.sample_n)
+    slow = mdl.apply(vars_, jnp.broadcast_to(x_s1, (n, 128, 128, 2)), key,
+                     method=HumanCVAES1.sample)
+    # B=1 vs B=n conv batching reassociates float adds -> ulp-level deltas
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(slow), atol=1e-4, rtol=1e-4)
+
+    # feature-level path (serving coalesced): encode + sample_with_feat
+    z_s = mdl.apply(vars_, x_s1, method=HumanCVAES1.encode_scene)
+    feat = mdl.apply(vars_, jnp.broadcast_to(z_s, (n, z_s.shape[1])), key,
+                     method=HumanCVAES1.sample_with_feat)
+    np.testing.assert_allclose(np.asarray(feat), np.asarray(fast), atol=1e-6)
+
+
+def test_cvae_s2_sample_n_matches_broadcast(s2_setup, rng):
+    mdl, vars_ = s2_setup
+    x_s1 = jnp.asarray(rng.normal(size=(1, 128, 128, 2)).astype(np.float32))
+    n = 5
+    key = jax.random.PRNGKey(7)
+    fast = mdl.apply(vars_, x_s1, n, key, method=HumanCVAES2.sample_n)
+    slow = mdl.apply(vars_, jnp.broadcast_to(x_s1, (n, 128, 128, 2)), key,
+                     method=HumanCVAES2.sample)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(slow), atol=1e-4, rtol=1e-4)
+
+    z_g, z_l = mdl.apply(vars_, x_s1, method=HumanCVAES2.encode_scenes)
+    feat = mdl.apply(vars_, jnp.broadcast_to(z_g, (n, z_g.shape[1])),
+                     jnp.broadcast_to(z_l, (n, z_l.shape[1])), key,
+                     method=HumanCVAES2.sample_with_feats)
+    np.testing.assert_allclose(np.asarray(feat), np.asarray(fast), atol=1e-5, rtol=1e-5)
