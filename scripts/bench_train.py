@@ -21,6 +21,8 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--model_type", type=str, default="s1")
     ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--scan", type=int, default=0,
+                    help="also time the chunked-scan epoch path (K steps per program)")
     args = ap.parse_args()
 
     import jax
@@ -68,6 +70,35 @@ def main():
         "batch": args.batch,
         "model_type": args.model_type,
     }))
+
+    if args.scan:
+        # production scan-epoch path: K steps per XLA program, zero host
+        # round-trips per step (train/loop.py::make_epoch_step)
+        from psi_tpu.train.loop import make_epoch_step
+
+        K = args.scan
+        epoch_fn = make_epoch_step(model, opt, assets, LossConfig(), args.model_type)
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches[:K])
+        keys = jax.random.split(jax.random.PRNGKey(2), K)
+        state2 = init_state(model, cfg, opt, jax.random.PRNGKey(0))
+        state2, m = epoch_fn(state2, stacked, keys, fca, fs)
+        jax.block_until_ready(m["loss"])
+        reps = max(1, args.reps // 2)
+        t0 = time.time()
+        for i in range(reps):
+            keys = jax.random.split(jax.random.PRNGKey(3 + i), K)
+            state2, m = epoch_fn(state2, stacked, keys, fca, fs)
+        jax.block_until_ready(m["loss"])
+        dt = (time.time() - t0) / (reps * K)
+        print(json.dumps({
+            "metric": "train_steps_per_sec_scan",
+            "value": round(1.0 / dt, 2),
+            "unit": "steps/s",
+            "samples_per_sec": round(args.batch / dt, 1),
+            "batch": args.batch,
+            "scan_chunk": K,
+            "model_type": args.model_type,
+        }))
 
 
 if __name__ == "__main__":
