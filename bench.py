@@ -59,11 +59,14 @@ def measure_tpu() -> float:
     scene_idx = jnp.zeros((N_BODIES,), jnp.int32)
 
     _log("model init done")
+    from psi_tpu.fit.fitting import make_generate_fit_step
+
     fit = make_fit_step(assets, FitConfig(num_iter=NUM_ITER))
+    # sample+refine as ONE compiled program (production serving path)
+    genfit = make_generate_fit_step(model, assets, FitConfig(num_iter=NUM_ITER), N_BODIES)
 
     def pipeline(key):
-        x72 = generate_bodies(model, variables, xs, cam_int, max_d, N_BODIES, key)
-        x_fitted, metrics, _ = fit(x72, cam_ext, scene_idx)
+        x_fitted, _, _ = genfit(variables, xs, cam_int, max_d, cam_ext, scene_idx, key)
         return x_fitted
 
     _log("starting warmup compile")

@@ -102,16 +102,14 @@ def _per_body_losses(
     return jnp.sum(per_body), metrics
 
 
-def make_fit_step(assets: SceneAssets, cfg: FitConfig):
-    """Returns jitted fit(x72_init [N,72], cam_ext [N,4,4], scene_idx [N])
-    -> (x72_fitted [N,72], final per-body metrics).
-
-    The asset pytree is a traced *argument* of the jit, not a closure —
-    closed-over arrays become compile-time constants and the packed SDF
-    registry (hundreds of MB) would explode compile time."""
+def _fit_program(cfg: FitConfig):
+    """Unjitted fit(assets, x72_init, cam_ext, scene_idx) — shared by the
+    standalone and the fused generate+fit programs. Callers MUST pass
+    assets as a traced argument (closed-over arrays become compile-time
+    constants and the packed SDF registry, hundreds of MB, would explode
+    compile time / exceed the remote-compile request limit)."""
     opt = optax.adam(cfg.init_lr_h)
 
-    @jax.jit
     def fit(assets, x72_init, cam_ext, scene_idx):
         xhr_init = convert_to_6D_rot(x72_init)
 
@@ -130,8 +128,63 @@ def make_fit_step(assets: SceneAssets, cfg: FitConfig):
         _, final_metrics = loss_fn(xhr)
         return convert_to_3D_rot(xhr), final_metrics, loss_hist
 
+    return fit
+
+
+def make_fit_step(assets: SceneAssets, cfg: FitConfig):
+    """Returns jitted fit(x72_init [N,72], cam_ext [N,4,4], scene_idx [N])
+    -> (x72_fitted [N,72], final per-body metrics).
+
+    The asset pytree is a traced *argument* of the jit, not a closure
+    (see _fit_program)."""
+    fit = jax.jit(_fit_program(cfg))
+
     def bound(x72_init, cam_ext, scene_idx):
         return fit(assets, x72_init, cam_ext, scene_idx)
+
+    return bound
+
+
+def make_generate_fit_step(model, assets: SceneAssets, cfg: FitConfig, n_samples: int):
+    """Sample a population for ONE snapshot and refine it as ONE compiled
+    program — no host round-trip between the generator and the fitter
+    (each separate dispatch costs ~40 ms through a dev tunnel and
+    serializes the two programs' scheduling).
+
+    Returns run(variables, xs [1,H,W,2], cam_int [1,3,3], max_d [1],
+    cam_ext [N,4,4], scene_idx [N], key) -> (x72 [N,72], metrics, hist)."""
+    from psi_tpu.gen.sample import _generate
+
+    fit = _fit_program(cfg)
+
+    @jax.jit
+    def run(assets_, variables, xs, cam_int, max_d, cam_ext, scene_idx, key):
+        x72 = _generate(model, variables, xs, cam_int, max_d, n_samples, key)
+        return fit(assets_, x72, cam_ext, scene_idx)
+
+    def bound(variables, xs, cam_int, max_d, cam_ext, scene_idx, key):
+        return run(assets, variables, xs, cam_int, max_d, cam_ext, scene_idx, key)
+
+    return bound
+
+
+def make_generate_fit_rows(model, assets: SceneAssets, cfg: FitConfig):
+    """Coalesced-serving twin of make_generate_fit_step: sample per-row
+    (row r conditioned on snapshot req_idx[r]) and refine, one program."""
+    from psi_tpu.gen.sample import _generate_rows
+
+    fit = _fit_program(cfg)
+
+    @jax.jit
+    def run(assets_, variables, xs_stack, cam_int_stack, max_d_stack, req_idx,
+            cam_ext_rows, sidx_rows, key):
+        x72 = _generate_rows(model, variables, xs_stack, cam_int_stack, max_d_stack, req_idx, key)
+        return fit(assets_, x72, cam_ext_rows, sidx_rows)
+
+    def bound(variables, xs_stack, cam_int_stack, max_d_stack, req_idx,
+              cam_ext_rows, sidx_rows, key):
+        return run(assets, variables, xs_stack, cam_int_stack, max_d_stack, req_idx,
+                   cam_ext_rows, sidx_rows, key)
 
     return bound
 

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from psi_tpu.fit.fitting import make_fit_step
+from psi_tpu.fit.fitting import make_fit_step, make_generate_fit_rows, make_generate_fit_step
 from psi_tpu.gen.sample import generate_bodies, generate_bodies_rows
 from psi_tpu.train.objective import SceneAssets
 from psi_tpu.utils.config import FitConfig
@@ -60,6 +60,10 @@ class GenerationEngine:
         self.fit_cfg = fit_cfg or FitConfig()
         self.max_requests = max_requests  # compiled request-slot count
         self._fit = make_fit_step(assets, self.fit_cfg)
+        # generate+fit as ONE compiled program each (no inter-program
+        # host round-trip on the hot serving path)
+        self._genfit = make_generate_fit_step(model, assets, self.fit_cfg, population)
+        self._genfit_rows = make_generate_fit_rows(model, assets, self.fit_cfg)
         self._key = jax.random.PRNGKey(seed)
         self._lock = threading.Lock()  # device programs are not re-entrant
 
@@ -105,17 +109,21 @@ class GenerationEngine:
         n = min(n_samples or self.population, self.population)
         t0 = time.time()
         with self._lock:
-            x72 = generate_bodies(
-                self.model, self.variables,
-                jnp.asarray(batch["xs"]), jnp.asarray(batch["cam_int"]).reshape(1, 3, 3),
-                jnp.asarray(batch["max_d"]).reshape(1), self.population, self._next_key(),
-            )
+            xs = jnp.asarray(batch["xs"])
+            cam_int = jnp.asarray(batch["cam_int"]).reshape(1, 3, 3)
+            max_d = jnp.asarray(batch["max_d"]).reshape(1)
             if fit:
                 cam_ext = jnp.broadcast_to(
                     jnp.asarray(batch["cam_ext"]).reshape(1, 4, 4), (self.population, 4, 4)
                 )
                 sidx = jnp.full((self.population,), scene_idx, jnp.int32)
-                x72, _, _ = self._fit(x72, cam_ext, sidx)
+                x72, _, _ = self._genfit(
+                    self.variables, xs, cam_int, max_d, cam_ext, sidx, self._next_key()
+                )
+            else:
+                x72 = generate_bodies(
+                    self.model, self.variables, xs, cam_int, max_d, self.population, self._next_key()
+                )
             out = np.asarray(x72[:n])
         return ServeResult(bodies=out, fitted=fit, latency_s=time.time() - t0)
 
@@ -157,13 +165,18 @@ class GenerationEngine:
 
         t0 = time.time()
         with self._lock:
-            x72 = generate_bodies_rows(
-                self.model, self.variables,
-                jnp.asarray(xs_stack), jnp.asarray(cam_int_stack),
-                jnp.asarray(max_d_stack), jnp.asarray(req_idx), self._next_key(),
-            )
             if fit:
-                x72, _, _ = self._fit(x72, jnp.asarray(cam_ext_rows), jnp.asarray(sidx_rows))
+                x72, _, _ = self._genfit_rows(
+                    self.variables, jnp.asarray(xs_stack), jnp.asarray(cam_int_stack),
+                    jnp.asarray(max_d_stack), jnp.asarray(req_idx),
+                    jnp.asarray(cam_ext_rows), jnp.asarray(sidx_rows), self._next_key(),
+                )
+            else:
+                x72 = generate_bodies_rows(
+                    self.model, self.variables,
+                    jnp.asarray(xs_stack), jnp.asarray(cam_int_stack),
+                    jnp.asarray(max_d_stack), jnp.asarray(req_idx), self._next_key(),
+                )
             host = np.asarray(x72)
         latency = time.time() - t0
 
