@@ -138,3 +138,26 @@ def test_serve_cli_loop(tmp_path):
     final = stats_lines[-1]["stats"]
     assert final["requests"] == 2
     assert "latency_p50_s" in final and "latency_p99_s" in final
+
+
+def test_engine_coalesced_s2_model():
+    """The coalesced path must work for the two-stage model too
+    (encode_scenes + sample_with_feats)."""
+    from psi_tpu.models import HumanCVAES2
+
+    assets, _ = make_synthetic_assets(
+        num_verts=100, num_joints=12, num_scenes=2, sdf_dim=16, scene_points=200, n_contact=32
+    )
+    mdl = HumanCVAES2(latentD_g=32, latentD_l=32)
+    variables = mdl.init(jax.random.PRNGKey(0), jnp.zeros((1, 75)), jnp.zeros((1, 128, 128, 2)))
+    eng = GenerationEngine(
+        mdl, variables, assets, population=8, fit_cfg=FitConfig(num_iter=2), max_requests=4
+    )
+    reqs = [
+        {"batch": _snapshot(), "n_samples": 3, "scene_idx": 0},
+        {"batch": _snapshot(5.0), "n_samples": 5, "scene_idx": 1},
+    ]
+    for fit in (False, True):
+        results = eng.generate_coalesced(reqs, fit=fit)
+        assert [r.bodies.shape for r in results] == [(3, 72), (5, 72)]
+        assert all(np.isfinite(r.bodies).all() for r in results)
