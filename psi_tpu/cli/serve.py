@@ -1,7 +1,7 @@
 """Serving CLI: JSONL requests on stdin -> JSONL responses on stdout.
 
 Request:  {"id": "r1", "npz": "<path to snapshot npz with xs/cam_int/cam_ext/max_d>",
-           "n_samples": 32, "fit": true, "scene_idx": 0}
+           "n_samples": 32, "fit": true, "scene_idx": 0, "model": "s1"}
 Response: {"id": "r1", "n": 32, "latency_s": ..., "batch_size": ..., "out": "<path written>"}
 
 Requests are micro-batched: lines arriving while a program call is in
@@ -25,6 +25,12 @@ def build_parser():
     p = argparse.ArgumentParser()
     p.add_argument("--model_type", type=str, default="s1", choices=["s1", "s2"])
     p.add_argument("--ckpt_dir", type=str, default=None)
+    p.add_argument(
+        "--model", action="append", default=None, metavar="TYPE[=CKPT_DIR]",
+        help="serve this model (repeatable, e.g. --model s1=ckpts/s1 --model s2=ckpts/s2); "
+        "requests pick one via their 'model' field (default: first). "
+        "Overrides --model_type/--ckpt_dir.",
+    )
     p.add_argument("--population", type=int, default=256)
     p.add_argument("--latentD", type=int, default=256)
     p.add_argument("--out_dir", type=str, default="serve_out")
@@ -51,23 +57,35 @@ def main(argv=None, stdin=None, stdout=None):
     from psi_tpu.train.loop import build_model, init_state
     from psi_tpu.utils.config import TrainConfig
 
-    cfg = TrainConfig(model_type=args.model_type, latentD=args.latentD)
-    model = build_model(cfg)
-    state = init_state(model, cfg, optax.adam(1e-3), jax.random.PRNGKey(0))
-    if args.ckpt_dir:
-        restored = load_newest_checkpoint(args.ckpt_dir, state, model_type=args.model_type)
-        if restored:
-            state = restored["state"]
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    from psi_tpu.serve import ServingRouter
+
+    # model roster: repeatable --model TYPE[=CKPT_DIR], else the single
+    # --model_type/--ckpt_dir pair
+    roster = []
+    for spec in args.model or [f"{args.model_type}={args.ckpt_dir or ''}"]:
+        mtype, _, ckpt = spec.partition("=")
+        roster.append((mtype, ckpt or None))
+
     assets, _ = build_assets(args)
+    engines = {}
+    for mtype, ckpt_dir in roster:
+        cfg = TrainConfig(model_type=mtype, latentD=args.latentD)
+        model = build_model(cfg)
+        state = init_state(model, cfg, optax.adam(1e-3), jax.random.PRNGKey(0))
+        if ckpt_dir:
+            restored = load_newest_checkpoint(ckpt_dir, state, model_type=mtype)
+            if restored:
+                state = restored["state"]
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        engines[mtype] = GenerationEngine(model, variables, assets, population=args.population)
 
-    from psi_tpu.serve import ServingQueue
+    warm = sum(e.warmup() for e in engines.values())
+    print(
+        json.dumps({"status": "ready", "warmup_s": round(warm, 2), "models": list(engines)}),
+        file=stdout, flush=True,
+    )
 
-    engine = GenerationEngine(model, variables, assets, population=args.population)
-    warm = engine.warmup()
-    print(json.dumps({"status": "ready", "warmup_s": round(warm, 2)}), file=stdout, flush=True)
-
-    q = ServingQueue(engine, linger_s=args.linger_ms / 1000.0)
+    q = ServingRouter(engines, linger_s=args.linger_ms / 1000.0)
     os.makedirs(args.out_dir, exist_ok=True)
 
     import queue as _queue
@@ -120,7 +138,7 @@ def main(argv=None, stdin=None, stdout=None):
         }
         fut = q.submit(
             batch, n_samples=req.get("n_samples"), fit=req.get("fit", False),
-            scene_idx=req.get("scene_idx", 0),
+            scene_idx=req.get("scene_idx", 0), model=req.get("model"),
         )
         done_q.put((req.get("id", "req"), fut))
 

@@ -1,3 +1,3 @@
-from psi_tpu.serve.engine import GenerationEngine, ServeResult, ServingQueue
+from psi_tpu.serve.engine import GenerationEngine, ServeResult, ServingQueue, ServingRouter
 
-__all__ = ["GenerationEngine", "ServeResult", "ServingQueue"]
+__all__ = ["GenerationEngine", "ServeResult", "ServingQueue", "ServingRouter"]

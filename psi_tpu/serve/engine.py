@@ -305,3 +305,61 @@ class ServingQueue:
             for g, r in zip(group, results):
                 r.latency_s = done_t - g.submit_t  # end-to-end, incl. queue wait
                 g.future.set_result(r)
+
+
+class ServingRouter:
+    """Multi-model front end: one ServingQueue per engine (e.g. the
+    one-stage and two-stage CVAEs served side by side), requests routed
+    by model name. Each queue micro-batches independently, so s1 and s2
+    populations never share a program; the device interleaves their
+    dispatches (each engine holds its own lock).
+
+    The reference ships two model families behind distinct scripts
+    (test_proxe_s1.py / test_proxe_s2.py); here both are resident behind
+    one API.
+    """
+
+    def __init__(self, engines: Dict[str, GenerationEngine], linger_s: float = 0.005):
+        if not engines:
+            raise ValueError("ServingRouter needs at least one engine")
+        self.engines = dict(engines)
+        self.default = next(iter(self.engines))
+        self.queues = {name: ServingQueue(e, linger_s=linger_s) for name, e in self.engines.items()}
+
+    def submit(
+        self,
+        batch: Dict[str, np.ndarray],
+        n_samples: Optional[int] = None,
+        fit: bool = False,
+        scene_idx: int = 0,
+        model: Optional[str] = None,
+    ) -> Future:
+        name = model or self.default
+        if name not in self.queues:
+            fut: Future = Future()
+            fut.set_exception(KeyError(f"unknown model {name!r}; have {sorted(self.queues)}"))
+            return fut
+        return self.queues[name].submit(batch, n_samples=n_samples, fit=fit, scene_idx=scene_idx)
+
+    def stats(self) -> Dict[str, Any]:
+        """Aggregate stats (same schema as ServingQueue.stats) plus a
+        per-model breakdown under 'models'."""
+        per = {name: q.stats() for name, q in self.queues.items()}
+        lat = []
+        for q in self.queues.values():
+            with q._stats_lock:
+                lat.extend(q._latencies)
+        out: Dict[str, Any] = {
+            "requests": sum(p["requests"] for p in per.values()),
+            "batches": sum(p["batches"] for p in per.values()),
+            "models": per,
+        }
+        if lat:
+            arr = np.asarray(lat, np.float64)
+            out["latency_p50_s"] = float(np.percentile(arr, 50))
+            out["latency_p99_s"] = float(np.percentile(arr, 99))
+        return out
+
+    def stop(self):
+        for q in self.queues.values():
+            q.stop()

@@ -140,6 +140,75 @@ def test_serve_cli_loop(tmp_path):
     assert "latency_p50_s" in final and "latency_p99_s" in final
 
 
+def test_serving_router_two_models():
+    """s1 + s2 resident side by side; requests route by model name and
+    stats aggregate across queues with a per-model breakdown."""
+    from psi_tpu.models import HumanCVAES2
+    from psi_tpu.serve import ServingRouter
+
+    assets, _ = make_synthetic_assets(
+        num_verts=100, num_joints=12, num_scenes=2, sdf_dim=16, scene_points=200, n_contact=32
+    )
+    engines = {}
+    for name, mdl in (
+        ("s1", HumanCVAES1(latentD=32)),
+        ("s2", HumanCVAES2(latentD_g=32, latentD_l=32)),
+    ):
+        variables = mdl.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 75)), jnp.zeros((1, 128, 128, 2))
+        )
+        engines[name] = GenerationEngine(
+            mdl, variables, assets, population=8, fit_cfg=FitConfig(num_iter=2), max_requests=4
+        )
+        engines[name].warmup()
+
+    router = ServingRouter(engines, linger_s=0.25)
+    futs = {
+        "s1": router.submit(_snapshot(), n_samples=2, model="s1"),
+        "s2": router.submit(_snapshot(), n_samples=3, model="s2"),
+        "default": router.submit(_snapshot(), n_samples=1),  # -> first engine (s1)
+    }
+    res = {k: f.result(timeout=120) for k, f in futs.items()}
+    bad = router.submit(_snapshot(), model="nope")
+    with pytest.raises(KeyError):
+        bad.result(timeout=10)
+    router.stop()
+
+    assert res["s1"].bodies.shape == (2, 72)
+    assert res["s2"].bodies.shape == (3, 72)
+    assert res["default"].bodies.shape == (1, 72)
+    stats = router.stats()
+    assert stats["requests"] == 3
+    assert stats["models"]["s1"]["requests"] == 2  # s1 + default
+    assert stats["models"]["s2"]["requests"] == 1
+    assert "latency_p50_s" in stats
+
+
+def test_serve_cli_multi_model(tmp_path):
+    from psi_tpu.cli import serve as cli_serve
+
+    reqs = (
+        json.dumps({"id": "a", "n_samples": 2, "model": "s2"})
+        + "\n"
+        + json.dumps({"id": "b", "n_samples": 1})
+        + "\nquit\n"
+    )
+    stdin = io.StringIO(reqs)
+    stdout = io.StringIO()
+    cli_serve.main(
+        ["--latentD", "32", "--population", "4", "--synthetic", "--out_dir", str(tmp_path),
+         "--model", "s1", "--model", "s2", "--linger_ms", "20"],
+        stdin=stdin, stdout=stdout,
+    )
+    lines = [json.loads(l) for l in stdout.getvalue().strip().splitlines()]
+    assert lines[0]["status"] == "ready" and lines[0]["models"] == ["s1", "s2"]
+    by_id = {l["id"]: l for l in lines if "id" in l}
+    assert by_id["a"]["n"] == 2 and by_id["b"]["n"] == 1
+    final = [l for l in lines if "stats" in l][-1]["stats"]
+    assert final["requests"] == 2
+    assert final["models"]["s2"]["requests"] == 1
+
+
 def test_engine_coalesced_s2_model():
     """The coalesced path must work for the two-stage model too
     (encode_scenes + sample_with_feats)."""
