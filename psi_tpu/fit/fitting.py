@@ -41,7 +41,11 @@ import optax
 from psi_tpu.body.decode import body_vec_to_verts
 from psi_tpu.geometry.bodyvec import convert_to_3D_rot, convert_to_6D_rot
 from psi_tpu.ops.chamfer import chamfer_one_sided
-from psi_tpu.ops.sdf import sdf_trilinear_packed
+from psi_tpu.ops.sdf import (
+    sdf_trilinear_from_cache,
+    sdf_trilinear_packed,
+    sdf_trilinear_packed_cached,
+)
 from psi_tpu.train.objective import SceneAssets
 from psi_tpu.utils.config import FitConfig
 
@@ -53,9 +57,19 @@ def _per_body_losses(
     cam_ext: jax.Array,  # [N, 4, 4]
     scene_idx: jax.Array,  # [N]
     cfg: FitConfig,
-) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    """Summed loss with per-body term semantics (fitting_proxe.py:101-162)."""
-    n = xhr.shape[0]
+    sel=None,
+) -> Tuple[jax.Array, Tuple[Dict[str, jax.Array], Tuple]]:
+    """Summed loss with per-body term semantics (fitting_proxe.py:101-162).
+
+    sel=None runs the FULL pass: every scene point is a contact-NN
+    candidate and every vertex's SDF comes from a real grid gather; when
+    cfg.refresh_every > 1 the pass also emits the carried state for the
+    cheap iterations — the pruned contact candidate indices (sel_scene
+    [N, Ks]) and the frozen-cell SDF cache (corner rows + floor coords,
+    ops.sdf.sdf_trilinear_packed_cached). sel=(sel_scene, cache) runs
+    the CHEAP pass: contact against the carried scene subset, collision
+    against each vertex's cached cell patch — no gathers, no scatters.
+    """
     loss_rec = cfg.weight_loss_rec * jnp.mean(jnp.abs(xhr - xhr_init), axis=1)  # [N]
 
     xh = convert_to_3D_rot(xhr)  # [N, 72]
@@ -69,24 +83,48 @@ def _per_body_losses(
     verts = _decode(xh)
     contact_verts = verts[:, assets.contact_vids, :]
     scene_pts = assets.scene_verts[scene_idx]
-    if cfg.prune_scene_points and cfg.prune_scene_points < scene_pts.shape[1]:
+    ks = cfg.prune_scene_points
+    prune_scene = ks and ks < scene_pts.shape[1]
+    if sel is not None:
+        sel_s, sdf_cache = sel
+        if prune_scene:
+            scene_pts = jnp.take_along_axis(scene_pts, sel_s[..., None], axis=1)
+    elif prune_scene:
         # candidate pruning: the NN search only needs scene points near
-        # the body; keep the K nearest to the contact centroid. Runs
-        # every iteration (tracks the moving body), costs O(B*M) adds +
-        # an approx_min_k, and cuts the O(B*C*M) argmin kernel ~M/K x.
+        # the body; keep the K nearest to the contact centroid. Costs
+        # O(B*M) adds + an approx_min_k, and cuts the O(B*C*M) argmin
+        # kernel ~M/K x.
         centroid = jnp.mean(contact_verts, axis=1)  # [N, 3]
         cd = jnp.sum((scene_pts - centroid[:, None, :]) ** 2, axis=-1)
-        _, sel = jax.lax.approx_min_k(cd, cfg.prune_scene_points, recall_target=0.99)
-        scene_pts = jnp.take_along_axis(
-            scene_pts, jax.lax.stop_gradient(sel)[..., None], axis=1
-        )
+        _, sel_s = jax.lax.approx_min_k(cd, ks, recall_target=0.99)
+        sel_s = jax.lax.stop_gradient(sel_s)
+        scene_pts = jnp.take_along_axis(scene_pts, sel_s[..., None], axis=1)
+    else:
+        sel_s = jnp.zeros((xhr.shape[0], 1), jnp.int32)
     d1 = chamfer_one_sided(contact_verts, scene_pts)  # [N, C]
     s = jnp.sqrt(d1 + 1e-4)
     loss_contact = cfg.weight_contact * jnp.mean(s / (s + cfg.contact_denom_offset), axis=1)
 
-    body_sdf = sdf_trilinear_packed(
-        assets.sdf_packed, scene_idx, verts, assets.grid_mins, assets.grid_maxs
-    )  # [N, V]
+    dims = tuple(assets.sdf_packed.shape[1:4])
+    if sel is not None:
+        # cheap pass: every vertex against its frozen cell's linear patch
+        body_sdf = sdf_trilinear_from_cache(
+            sdf_cache, scene_idx, verts, assets.grid_mins, assets.grid_maxs, dims
+        )
+    elif cfg.refresh_every > 1:
+        body_sdf, sdf_cache = sdf_trilinear_packed_cached(
+            assets.sdf_packed, scene_idx, verts, assets.grid_mins, assets.grid_maxs
+        )
+        sdf_cache = jax.lax.stop_gradient(sdf_cache)
+    else:
+        body_sdf = sdf_trilinear_packed(
+            assets.sdf_packed, scene_idx, verts, assets.grid_mins, assets.grid_maxs
+        )
+        # dummy cache keeps the scan carry small when refresh is off
+        sdf_cache = (
+            jnp.zeros((xhr.shape[0], 1, 8), jnp.float32),
+            jnp.zeros((xhr.shape[0], 1, 3), jnp.float32),
+        )
     neg = jnp.minimum(body_sdf, 0.0)
     cnt = jnp.maximum(jnp.sum(body_sdf < 0, axis=1), 1).astype(xhr.dtype)
     loss_collision = cfg.weight_collision * (-jnp.sum(neg, axis=1) / cnt)
@@ -99,7 +137,7 @@ def _per_body_losses(
         "collision": loss_collision,
         "total": per_body,
     }
-    return jnp.sum(per_body), metrics
+    return jnp.sum(per_body), (metrics, (sel_s, sdf_cache))
 
 
 def _fit_program(cfg: FitConfig):
@@ -113,19 +151,57 @@ def _fit_program(cfg: FitConfig):
     def fit(assets, x72_init, cam_ext, scene_idx):
         xhr_init = convert_to_6D_rot(x72_init)
 
-        def loss_fn(xhr):
-            return _per_body_losses(assets, xhr, xhr_init, cam_ext, scene_idx, cfg)
+        def loss_fn(xhr, sel=None):
+            return _per_body_losses(assets, xhr, xhr_init, cam_ext, scene_idx, cfg, sel)
 
-        def step(carry, _):
-            xhr, opt_state = carry
-            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(xhr)
+        refresh = cfg.refresh_every > 1
+
+        def step(carry, i):
+            xhr, opt_state, sel = carry
+
+            def full_pass(_):
+                (_, (metrics, new_sel)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(xhr)
+                return grads, metrics["total"], new_sel
+
+            if refresh:
+                # selection-refresh: the full pass (real SDF gathers, all
+                # scene points ranked) re-freezes the carried state every
+                # refresh_every-th iter; other iters run on it. See
+                # FitConfig.refresh_every.
+                def cheap_pass(_):
+                    (_, (metrics, _)), grads = jax.value_and_grad(
+                        lambda x: loss_fn(x, sel), has_aux=True
+                    )(xhr)
+                    return grads, metrics["total"], sel
+
+                grads, total, sel = jax.lax.cond(
+                    i % cfg.refresh_every == 0, full_pass, cheap_pass, None
+                )
+            else:
+                grads, total, sel = full_pass(None)
             updates, opt_state = opt.update(grads, opt_state, xhr)
             xhr = optax.apply_updates(xhr, updates)
-            return (xhr, opt_state), metrics["total"]
+            return (xhr, opt_state, sel), total
 
-        init = (xhr_init, opt.init(xhr_init))
-        (xhr, _), loss_hist = jax.lax.scan(step, init, None, length=cfg.num_iter)
-        _, final_metrics = loss_fn(xhr)
+        n = xhr_init.shape[0]
+        # carried shapes must match what the full pass emits (its guards
+        # disable scene pruning when Ks >= the scene-point count; the SDF
+        # cache is full-size only when refresh is on)
+        n_scene = assets.scene_verts.shape[1]
+        n_verts = assets.smplx.v_template.shape[0]
+        ks = cfg.prune_scene_points if 0 < cfg.prune_scene_points < n_scene else 1
+        vc = n_verts if refresh else 1
+        sel0 = (
+            jnp.zeros((n, ks), jnp.int32),
+            (jnp.zeros((n, vc, 8), jnp.float32), jnp.zeros((n, vc, 3), jnp.float32)),
+        )
+        init = (xhr_init, opt.init(xhr_init), sel0)
+        (xhr, _, _), loss_hist = jax.lax.scan(
+            step, init, jnp.arange(cfg.num_iter)
+        )
+        _, (final_metrics, _) = loss_fn(xhr)
         return convert_to_3D_rot(xhr), final_metrics, loss_hist
 
     return fit
@@ -230,7 +306,7 @@ def make_fit_step_carry_opt_state(assets: SceneAssets, cfg: FitConfig):
 
             def step(carry, _):
                 xhr, opt_state = carry
-                (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(xhr)
+                (_, (metrics, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(xhr)
                 updates, opt_state = opt.update(grads, opt_state, xhr)
                 return (optax.apply_updates(xhr, updates), opt_state), metrics["total"]
 
@@ -241,7 +317,7 @@ def make_fit_step_carry_opt_state(assets: SceneAssets, cfg: FitConfig):
 
         opt_state0 = opt.init(xhr_init_all[0:1])
         _, xhr_all = jax.lax.scan(one_body, opt_state0, (xhr_init_all, cam_ext, scene_idx))
-        _, final_metrics = _per_body_losses(
+        _, (final_metrics, _) = _per_body_losses(
             assets, xhr_all, xhr_init_all, cam_ext, scene_idx, cfg
         )
         return convert_to_3D_rot(xhr_all), final_metrics

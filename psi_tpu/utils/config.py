@@ -92,6 +92,21 @@ class FitConfig:
     # instead of storing its [N, V, ...] residuals (HBM-bound path —
     # trades MXU FLOPs, which are underutilized here, for HBM traffic)
     remat_decode: bool = False
+    # selection-refresh mode (refresh_every > 1): a FULL loss pass — one
+    # real packed-grid gather per vertex (the gather-engine-latency-bound
+    # cost) and an approx_min_k ranking of all scene points — runs only
+    # every refresh_every-th fit iteration. In between, the collision
+    # term re-evaluates EVERY vertex against the frozen trilinear patch
+    # of the grid cell it occupied at the last refresh (corner rows are
+    # carried from the refresh gather; ops/sdf.py::sdf_trilinear_from_cache)
+    # and the contact term keeps the carried scene-point subset. Cheap
+    # iters therefore do no gathers or scatters at all. Exact at each
+    # refresh point; between refreshes the SDF error is second-order in
+    # the per-iter vertex displacement (cells are ~4-6cm; Adam moves
+    # verts ~mm/iter). Accuracy vs the every-iter path is measured in
+    # scripts/validate_refresh_fit.py and tests/test_fit_refresh.py.
+    # 1 disables (full pass every iteration, exact reference path).
+    refresh_every: int = 1
 
 
 def save_config(cfg, path: str) -> None:

@@ -112,6 +112,11 @@ def main():
         "production_noprune": dict(),
         "production_bf16sdf": dict(),
         "production_remat": dict(),  # FitConfig(remat_decode=True)
+        # production make_fit_step in selection-refresh mode
+        "refresh_t2": dict(refresh_every=2),
+        "refresh_t4": dict(refresh_every=4),
+        "refresh_t5": dict(refresh_every=5),
+        "refresh_t10": dict(refresh_every=10),
     }
     which = sys.argv[1:] or list(variants)
 
@@ -148,6 +153,11 @@ def main():
                 FitConfig(num_iter=NUM_ITER, prune_scene_points=pk,
                           remat_decode=(name == "production_remat")),
             )
+            fit = lambda a, b, c: real(a, b, c)[0]
+        elif name.startswith("refresh"):
+            from psi_tpu.fit import make_fit_step
+
+            real = make_fit_step(assets, FitConfig(num_iter=NUM_ITER, **variants[name]))
             fit = lambda a, b, c: real(a, b, c)[0]
         else:
             fit = build_fit(assets, cfg, **variants[name])

@@ -1,0 +1,134 @@
+"""Selection-refresh fitting (FitConfig.refresh_every > 1).
+
+The refresh mode amortizes the per-iteration full SDF gather and the
+contact candidate ranking: cheap iterations evaluate every vertex
+against the frozen trilinear patch of the grid cell it occupied at the
+last refresh (no gathers, no scatters) and reuse the carried scene-point
+subset. Semantics contract:
+* refresh_every=1 IS the production every-iter path.
+* At a refresh point (zero displacement since the cache was taken), the
+  cheap pass's loss AND gradient equal the full pass's exactly — the
+  cached patch is the same trilinear function the full lookup evaluates.
+* Between refreshes the SDF error is second-order in the displacement;
+  aggressive schedules must still fit (scene losses decrease).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from psi_tpu.data.synthetic import make_synthetic_assets
+from psi_tpu.fit import make_fit_step
+from psi_tpu.utils.config import FitConfig
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(3)
+    a, reg = make_synthetic_assets(
+        num_verts=128, num_joints=12, num_scenes=3, sdf_dim=16, scene_points=300, n_contact=32
+    )
+    N = 6
+    x72 = (rng.normal(size=(N, 72)) * 0.3).astype(np.float32)
+    x72[:, 0:3] = (np.asarray(reg.grid_mins[0]) * 0.8)[None, :] + rng.normal(
+        0, 0.1, (N, 3)
+    ).astype(np.float32)
+    cam_ext = jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (N, 1, 1)))
+    scene_idx = jnp.zeros(N, jnp.int32)
+    return a, jnp.asarray(x72), cam_ext, scene_idx
+
+
+def _run(a, x72, cam_ext, scene_idx, cfg):
+    xf, metrics, hist = make_fit_step(a, cfg)(x72, cam_ext, scene_idx)
+    return np.asarray(xf), {k: np.asarray(v) for k, v in metrics.items()}, np.asarray(hist)
+
+
+def test_cheap_pass_exact_at_refresh_point(setup):
+    """With zero displacement, cached-cell collision == full collision,
+    value and gradient — the core invariant of the scheme."""
+    from psi_tpu.fit.fitting import _per_body_losses
+    from psi_tpu.geometry.bodyvec import convert_to_6D_rot
+
+    a, x72, cam_ext, scene_idx = setup
+    xhr0 = convert_to_6D_rot(x72)
+    cfg = FitConfig(contact_denom_offset=1.0, refresh_every=5)
+
+    def full_loss(xhr):
+        return _per_body_losses(a, xhr, xhr0, cam_ext, scene_idx, cfg)
+
+    (l_full, (m_full, sel)), g_full = jax.value_and_grad(full_loss, has_aux=True)(xhr0)
+    assert float(np.asarray(m_full["collision"]).sum()) > 0  # setup penetrates
+
+    def cheap_loss(xhr):
+        return _per_body_losses(a, xhr, xhr0, cam_ext, scene_idx, cfg, sel)[0]
+
+    l_cheap, g_cheap = jax.value_and_grad(cheap_loss)(xhr0)
+    np.testing.assert_allclose(float(l_cheap), float(l_full), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_cheap), np.asarray(g_full), rtol=1e-5, atol=1e-6)
+
+
+def test_cached_patch_tracks_small_displacement(setup):
+    """A small parameter perturbation after caching: the frozen-cell SDF
+    stays close to the true lookup (second-order error)."""
+    from psi_tpu.body.decode import body_vec_to_verts
+    from psi_tpu.ops.sdf import (
+        sdf_trilinear_from_cache,
+        sdf_trilinear_packed,
+        sdf_trilinear_packed_cached,
+    )
+
+    a, x72, cam_ext, scene_idx = setup
+    verts0, _ = body_vec_to_verts(a.smplx, a.vposer_params, x72, cam_ext)
+    _, cache = sdf_trilinear_packed_cached(
+        a.sdf_packed, scene_idx, verts0, a.grid_mins, a.grid_maxs
+    )
+    # displace verts by ~2% of a cell (grid extent/16 cells)
+    cell = float(np.asarray(a.grid_maxs[0] - a.grid_mins[0]).max()) / 16
+    rng = np.random.default_rng(0)
+    verts1 = verts0 + jnp.asarray(
+        rng.normal(0, 0.02 * cell, np.asarray(verts0).shape).astype(np.float32)
+    )
+    dims = tuple(a.sdf_packed.shape[1:4])
+    approx = sdf_trilinear_from_cache(cache, scene_idx, verts1, a.grid_mins, a.grid_maxs, dims)
+    exact = sdf_trilinear_packed(a.sdf_packed, scene_idx, verts1, a.grid_mins, a.grid_maxs)
+    # error << the displacement's worst-case linear effect
+    err = np.abs(np.asarray(approx) - np.asarray(exact))
+    sdf_scale = float(np.abs(np.asarray(exact)).mean()) + 1e-6
+    assert err.mean() < 0.05 * sdf_scale
+
+
+def test_refresh_every_1_matches_production(setup):
+    a, x72, cam_ext, scene_idx = setup
+    base = FitConfig(num_iter=10, contact_denom_offset=1.0)
+    ref = FitConfig(num_iter=10, contact_denom_offset=1.0, refresh_every=1)
+    xf0, _, h0 = _run(a, x72, cam_ext, scene_idx, base)
+    xf1, _, h1 = _run(a, x72, cam_ext, scene_idx, ref)
+    np.testing.assert_array_equal(h0, h1)
+    np.testing.assert_array_equal(xf0, xf1)
+
+
+def test_refresh_still_reduces_collision(setup):
+    """Aggressive schedule (T=10) must still fit: scene losses fall."""
+    from psi_tpu.fit.fitting import _per_body_losses
+    from psi_tpu.geometry.bodyvec import convert_to_6D_rot
+
+    a, x72, cam_ext, scene_idx = setup
+    cfg = FitConfig(num_iter=30, contact_denom_offset=1.0, refresh_every=10)
+    xhr0 = convert_to_6D_rot(x72)
+    _, (m_init, _) = _per_body_losses(a, xhr0, xhr0, cam_ext, scene_idx, cfg)
+    assert float(np.asarray(m_init["collision"]).sum()) > 0
+    xf, m, _ = _run(a, x72, cam_ext, scene_idx, cfg)
+    assert np.all(np.isfinite(xf))
+    assert float(m["collision"].sum()) < float(np.asarray(m_init["collision"]).sum())
+
+
+def test_refresh_final_objective_close(setup):
+    """T=5 must land at an equally good objective (not necessarily the
+    same parameters: the loss has near-flat directions)."""
+    a, x72, cam_ext, scene_idx = setup
+    base = FitConfig(num_iter=20, contact_denom_offset=1.0)
+    ref = FitConfig(num_iter=20, contact_denom_offset=1.0, refresh_every=5)
+    _, m0, _ = _run(a, x72, cam_ext, scene_idx, base)
+    _, m1, _ = _run(a, x72, cam_ext, scene_idx, ref)
+    np.testing.assert_allclose(m1["total"], m0["total"], rtol=0.05, atol=1e-3)

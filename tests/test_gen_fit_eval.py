@@ -98,7 +98,7 @@ def test_fitting_reduces_scene_losses(assets, rng):
 
     cfg = FitConfig(num_iter=40, contact_denom_offset=1.0)
     xhr0 = convert_to_6D_rot(jnp.asarray(x72))
-    _, m0 = _per_body_losses(a, xhr0, xhr0, jnp.asarray(cam_ext), jnp.asarray(scene_idx), cfg)
+    _, (m0, _) = _per_body_losses(a, xhr0, xhr0, jnp.asarray(cam_ext), jnp.asarray(scene_idx), cfg)
     assert float(m0["collision"].sum()) > 0  # setup sanity: we start penetrating
 
     x_fit, metrics, hist = fit_bodies(a, jnp.asarray(x72), jnp.asarray(cam_ext), jnp.asarray(scene_idx), cfg)
