@@ -61,9 +61,17 @@ def measure_tpu() -> float:
     _log("model init done")
     from psi_tpu.fit.fitting import make_generate_fit_step
 
-    fit = make_fit_step(assets, FitConfig(num_iter=NUM_ITER))
+    # production fit config: selection-refresh mode (full loss pass with
+    # real SDF gathers + NN search every 5th Adam iter after a 4-iter
+    # warmup; frozen-cell SDF patches + frozen NN correspondences in
+    # between — accuracy vs the exact every-iter path measured in
+    # scripts/validate_refresh_fit.py, recorded in PARITY.md)
+    fit_cfg = FitConfig(num_iter=NUM_ITER, refresh_every=5)
+    exact_cfg = FitConfig(num_iter=NUM_ITER)  # reference-exact every-iter path
+    fit = make_fit_step(assets, fit_cfg)
     # sample+refine as ONE compiled program (production serving path)
-    genfit = make_generate_fit_step(model, assets, FitConfig(num_iter=NUM_ITER), N_BODIES)
+    genfit = make_generate_fit_step(model, assets, fit_cfg, N_BODIES)
+    genfit_exact = make_generate_fit_step(model, assets, exact_cfg, N_BODIES)
 
     def pipeline(key):
         x_fitted, _, _ = genfit(variables, xs, cam_int, max_d, cam_ext, scene_idx, key)
@@ -81,6 +89,18 @@ def measure_tpu() -> float:
     out.block_until_ready()
     dt = (time.time() - t0) / reps
     _log(f"timed {reps} reps, {dt:.2f}s each")
+
+    # exact-mode rate (no selection refresh), for honest comparison
+    out = genfit_exact(variables, xs, cam_int, max_d, cam_ext, scene_idx, jax.random.PRNGKey(1))[0]
+    out.block_until_ready()
+    t0 = time.time()
+    for i in range(reps):
+        out = genfit_exact(
+            variables, xs, cam_int, max_d, cam_ext, scene_idx, jax.random.PRNGKey(30 + i)
+        )[0]
+    out.block_until_ready()
+    dt_exact = (time.time() - t0) / reps
+    _log(f"exact mode: {dt_exact:.2f}s each")
 
     # per-stage breakdown: sampling alone, then fit alone
     x72_w = generate_bodies(model, variables, xs, cam_int, max_d, N_BODIES, jax.random.PRNGKey(9))
@@ -107,6 +127,12 @@ def measure_tpu() -> float:
         "sample_ms": round(sample_s * 1e3, 1),
         "fit_ms": round(fit_s * 1e3, 1),
         "fit_ms_per_iter": round(fit_s / NUM_ITER * 1e3, 2),
+        "fit_config": {
+            "refresh_every": fit_cfg.refresh_every,
+            "refresh_warmup": fit_cfg.refresh_warmup,
+            "prune_scene_points": fit_cfg.prune_scene_points,
+        },
+        "exact_mode_bodies_per_sec": round(N_BODIES / dt_exact, 2),
         "shapes": {
             "body_verts": 10475, "contact_verts": N_CONTACT,
             "scene_points": SCENE_POINTS, "sdf_dim": SDF_DIM,

@@ -40,7 +40,7 @@ import optax
 
 from psi_tpu.body.decode import body_vec_to_verts
 from psi_tpu.geometry.bodyvec import convert_to_3D_rot, convert_to_6D_rot
-from psi_tpu.ops.chamfer import chamfer_one_sided
+from psi_tpu.ops.chamfer import chamfer_one_sided, chamfer_one_sided_nn
 from psi_tpu.ops.sdf import (
     sdf_trilinear_from_cache,
     sdf_trilinear_packed,
@@ -61,14 +61,16 @@ def _per_body_losses(
 ) -> Tuple[jax.Array, Tuple[Dict[str, jax.Array], Tuple]]:
     """Summed loss with per-body term semantics (fitting_proxe.py:101-162).
 
-    sel=None runs the FULL pass: every scene point is a contact-NN
-    candidate and every vertex's SDF comes from a real grid gather; when
-    cfg.refresh_every > 1 the pass also emits the carried state for the
-    cheap iterations — the pruned contact candidate indices (sel_scene
-    [N, Ks]) and the frozen-cell SDF cache (corner rows + floor coords,
-    ops.sdf.sdf_trilinear_packed_cached). sel=(sel_scene, cache) runs
-    the CHEAP pass: contact against the carried scene subset, collision
-    against each vertex's cached cell patch — no gathers, no scatters.
+    sel=None runs the FULL pass: real NN search over the scene cloud for
+    the contact term and one real grid gather per vertex for the
+    collision term; when cfg.refresh_every > 1 the pass also emits the
+    carried state for the cheap iterations — each contact vert's NN
+    scene point (y_nn [N, C, 3]) and the frozen-cell SDF cache (corner
+    rows + floor coords, ops.sdf.sdf_trilinear_packed_cached).
+    sel=(y_nn, cache) runs the CHEAP pass: contact against the frozen
+    correspondence (|x - y_nn|^2, the ICP-style majorizer of the NN
+    distance), collision against each vertex's cached cell patch — pure
+    dense math, no NN search, no gathers, no scatters.
     """
     loss_rec = cfg.weight_loss_rec * jnp.mean(jnp.abs(xhr - xhr_init), axis=1)  # [N]
 
@@ -82,26 +84,30 @@ def _per_body_losses(
         _decode = jax.checkpoint(_decode)
     verts = _decode(xh)
     contact_verts = verts[:, assets.contact_vids, :]
-    scene_pts = assets.scene_verts[scene_idx]
-    ks = cfg.prune_scene_points
-    prune_scene = ks and ks < scene_pts.shape[1]
+
     if sel is not None:
-        sel_s, sdf_cache = sel
-        if prune_scene:
-            scene_pts = jnp.take_along_axis(scene_pts, sel_s[..., None], axis=1)
-    elif prune_scene:
-        # candidate pruning: the NN search only needs scene points near
-        # the body; keep the K nearest to the contact centroid. Costs
-        # O(B*M) adds + an approx_min_k, and cuts the O(B*C*M) argmin
-        # kernel ~M/K x.
-        centroid = jnp.mean(contact_verts, axis=1)  # [N, 3]
-        cd = jnp.sum((scene_pts - centroid[:, None, :]) ** 2, axis=-1)
-        _, sel_s = jax.lax.approx_min_k(cd, ks, recall_target=0.99)
-        sel_s = jax.lax.stop_gradient(sel_s)
-        scene_pts = jnp.take_along_axis(scene_pts, sel_s[..., None], axis=1)
+        y_nn, sdf_cache = sel
+        # cheap pass: frozen correspondence, frozen cell patches
+        d1 = jnp.sum((contact_verts - y_nn) ** 2, axis=-1)  # [N, C]
     else:
-        sel_s = jnp.zeros((xhr.shape[0], 1), jnp.int32)
-    d1 = chamfer_one_sided(contact_verts, scene_pts)  # [N, C]
+        scene_pts = assets.scene_verts[scene_idx]
+        ks = cfg.prune_scene_points
+        if ks and ks < scene_pts.shape[1]:
+            # candidate pruning: the NN search only needs scene points
+            # near the body; keep the K nearest to the contact centroid.
+            # Costs O(B*M) adds + an approx_min_k, and cuts the
+            # O(B*C*M) argmin kernel ~M/K x.
+            centroid = jnp.mean(contact_verts, axis=1)  # [N, 3]
+            cd = jnp.sum((scene_pts - centroid[:, None, :]) ** 2, axis=-1)
+            _, sel_s = jax.lax.approx_min_k(cd, ks, recall_target=0.99)
+            scene_pts = jnp.take_along_axis(
+                scene_pts, jax.lax.stop_gradient(sel_s)[..., None], axis=1
+            )
+        if cfg.refresh_every > 1:
+            d1, y_nn = chamfer_one_sided_nn(contact_verts, scene_pts)
+        else:
+            d1 = chamfer_one_sided(contact_verts, scene_pts)  # [N, C]
+            y_nn = jnp.zeros((xhr.shape[0], 1, 3), jnp.float32)  # dummy carry
     s = jnp.sqrt(d1 + 1e-4)
     loss_contact = cfg.weight_contact * jnp.mean(s / (s + cfg.contact_denom_offset), axis=1)
 
@@ -137,7 +143,7 @@ def _per_body_losses(
         "collision": loss_collision,
         "total": per_body,
     }
-    return jnp.sum(per_body), (metrics, (sel_s, sdf_cache))
+    return jnp.sum(per_body), (metrics, (y_nn, sdf_cache))
 
 
 def _fit_program(cfg: FitConfig):
@@ -176,9 +182,9 @@ def _fit_program(cfg: FitConfig):
                     )(xhr)
                     return grads, metrics["total"], sel
 
-                grads, total, sel = jax.lax.cond(
-                    i % cfg.refresh_every == 0, full_pass, cheap_pass, None
-                )
+                w = cfg.refresh_warmup
+                is_full = jnp.logical_or(i < w, (i - w) % cfg.refresh_every == 0)
+                grads, total, sel = jax.lax.cond(is_full, full_pass, cheap_pass, None)
             else:
                 grads, total, sel = full_pass(None)
             updates, opt_state = opt.update(grads, opt_state, xhr)
@@ -186,15 +192,14 @@ def _fit_program(cfg: FitConfig):
             return (xhr, opt_state, sel), total
 
         n = xhr_init.shape[0]
-        # carried shapes must match what the full pass emits (its guards
-        # disable scene pruning when Ks >= the scene-point count; the SDF
-        # cache is full-size only when refresh is on)
-        n_scene = assets.scene_verts.shape[1]
+        # carried shapes must match what the full pass emits: real-size
+        # frozen state only when refresh is on, tiny dummies otherwise
+        n_contact = assets.contact_vids.shape[0]
         n_verts = assets.smplx.v_template.shape[0]
-        ks = cfg.prune_scene_points if 0 < cfg.prune_scene_points < n_scene else 1
+        cc = n_contact if refresh else 1
         vc = n_verts if refresh else 1
         sel0 = (
-            jnp.zeros((n, ks), jnp.int32),
+            jnp.zeros((n, cc, 3), jnp.float32),
             (jnp.zeros((n, vc, 8), jnp.float32), jnp.zeros((n, vc, 3), jnp.float32)),
         )
         init = (xhr_init, opt.init(xhr_init), sel0)

@@ -332,6 +332,37 @@ def chamfer_one_sided(
     return _chamfer_one(x.astype(jnp.float32), y.astype(jnp.float32), implementation)
 
 
+def chamfer_one_sided_nn(
+    x: jax.Array, y: jax.Array, *, implementation: str = "auto"
+) -> Tuple[jax.Array, jax.Array]:
+    """One-sided NN distance plus the winning neighbour's coordinates.
+
+    Returns (d1 [B, N], y_nn [B, N, 3]); d1 = |x - y_nn|^2 recomputed
+    from the winner (the Pallas path's native formulation), y_nn is
+    stop-gradient. d1 is differentiable w.r.t. x ONLY — identical to
+    chamfer_one_sided's x-gradient; the y-side gradient is dropped
+    (every PSI fit/train caller treats the scene cloud as constant).
+
+    The y_nn output is the frozen-correspondence carry for the fit
+    loop's selection-refresh mode (FitConfig.refresh_every): between
+    refreshes the contact term evaluates |x - y_nn_frozen|^2, the ICP-
+    style majorizer of the true NN distance (NN is the min over
+    correspondences, so the frozen loss upper-bounds it and is exact at
+    the refresh point).
+    """
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    # the NN search itself needs no gradient (and the Pallas kernel has
+    # no autodiff rule): search on detached clouds, differentiate only
+    # the recomputed distance to the winner
+    _, i1 = _nn_one_direction(
+        jax.lax.stop_gradient(x), jax.lax.stop_gradient(y), implementation
+    )
+    y_nn = jax.lax.stop_gradient(jnp.take_along_axis(y, i1[..., None], axis=1))
+    d1 = jnp.sum((x - y_nn) ** 2, axis=-1)
+    return d1, y_nn
+
+
 def chamfer_with_idx(
     x: jax.Array, y: jax.Array, *, implementation: str = "auto"
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:

@@ -99,14 +99,22 @@ class FitConfig:
     # term re-evaluates EVERY vertex against the frozen trilinear patch
     # of the grid cell it occupied at the last refresh (corner rows are
     # carried from the refresh gather; ops/sdf.py::sdf_trilinear_from_cache)
-    # and the contact term keeps the carried scene-point subset. Cheap
-    # iters therefore do no gathers or scatters at all. Exact at each
-    # refresh point; between refreshes the SDF error is second-order in
-    # the per-iter vertex displacement (cells are ~4-6cm; Adam moves
-    # verts ~mm/iter). Accuracy vs the every-iter path is measured in
+    # and the contact term evaluates |x - y_nn|^2 against each contact
+    # vert's frozen NN scene point (the ICP-style majorizer of the true
+    # NN distance; ops/chamfer.py::chamfer_one_sided_nn). Cheap iters
+    # are therefore pure dense math — no NN search, no gathers, no
+    # scatters. Exact at each refresh point; between refreshes the error
+    # is second-order in the per-iter vertex displacement (cells are
+    # ~4-6cm; Adam moves verts ~mm/iter) and the contact majorizer is an
+    # upper bound. Accuracy vs the every-iter path is measured in
     # scripts/validate_refresh_fit.py and tests/test_fit_refresh.py.
     # 1 disables (full pass every iteration, exact reference path).
     refresh_every: int = 1
+    # first refresh_warmup iterations always run the full pass: Adam's
+    # early steps are the largest (~lr per coordinate regardless of
+    # gradient scale), so frozen state is stalest exactly then; freezing
+    # only after the step size settles keeps the cheap iters honest.
+    refresh_warmup: int = 4
 
 
 def save_config(cfg, path: str) -> None:

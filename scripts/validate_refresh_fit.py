@@ -54,6 +54,8 @@ def main():
         "refresh_t4": FitConfig(refresh_every=4),
         "refresh_t5": FitConfig(refresh_every=5),
         "refresh_t10": FitConfig(refresh_every=10),
+        "refresh_t5_w0": FitConfig(refresh_every=5, refresh_warmup=0),
+        "refresh_t5_w8": FitConfig(refresh_every=5, refresh_warmup=8),
     }
     results = {}
     for name, cfg in configs.items():
@@ -61,10 +63,11 @@ def main():
         xf, metrics, _ = fit(x72, cam_ext, scene_idx)
         nc, ct = eval_scores(assets, xf, cam_ext, scene_idx)
         results[name] = (np.asarray(xf), {k: float(np.mean(v)) for k, v in metrics.items()}, nc, ct)
+        m = results[name][1]
         print(f"[{name}] noncoll={nc:.4f} contact={ct:.4f} "
-              f"loss_total={results[name][1]['total']:.5f} "
-              f"collision={results[name][1]['collision']:.6f} "
-              f"contact_term={results[name][1]['contact']:.6f}", flush=True)
+              f"loss_total={m['total']:.5f} rec={m['rec']:.5f} "
+              f"vposer={m['vposer']:.6f} collision={m['collision']:.6f} "
+              f"contact_term={m['contact']:.6f}", flush=True)
 
     base = results["production"][0]
     for name in configs:
