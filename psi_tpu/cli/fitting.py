@@ -30,6 +30,13 @@ def build_parser():
     p.add_argument("--num_iter", type=int, default=None, help="default: 20 proxe / 50 habitat")
     p.add_argument("--max_files", type=int, default=None, help="default: 1200 proxe / 10000 habitat")
     p.add_argument("--lr", type=float, default=0.1)
+    p.add_argument(
+        "--refresh_every", type=int, default=1,
+        help="selection-refresh schedule for the fit losses: full SDF "
+        "gathers + NN search every N-th Adam iter, frozen-cell/frozen-"
+        "correspondence math in between (~2x faster at 5; 1 = exact "
+        "reference semantics; accuracy record in PARITY.md)",
+    )
     from psi_tpu.cli.common import add_asset_args
 
     add_asset_args(p)
@@ -52,6 +59,7 @@ def main(argv=None):
             contact_denom_offset=0.01,  # fitting_proxe.py:139
             weight_loss_rec=1.0, weight_loss_vposer=0.01,
             weight_contact=0.1, weight_collision=0.5,
+            refresh_every=args.refresh_every,
         )
         max_files = args.max_files or 1200
     else:
@@ -62,6 +70,7 @@ def main(argv=None):
             contact_denom_offset=1.0,  # fitting_habitat.py:141
             weight_loss_rec=1.0, weight_loss_vposer=0.01,
             weight_contact=0.1, weight_collision=0.5,
+            refresh_every=args.refresh_every,
         )
         max_files = args.max_files or 10000
 

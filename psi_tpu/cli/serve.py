@@ -36,6 +36,10 @@ def build_parser():
     p.add_argument("--out_dir", type=str, default="serve_out")
     p.add_argument("--linger_ms", type=float, default=5.0,
                    help="micro-batch window after the first queued request")
+    p.add_argument("--refresh_every", type=int, default=5,
+                   help="fit-loss selection-refresh schedule (serving default 5 "
+                   "= ~2x faster refinement; 1 = exact reference semantics; "
+                   "accuracy record in PARITY.md)")
     from psi_tpu.cli.common import add_asset_args
 
     add_asset_args(p)
@@ -55,7 +59,7 @@ def main(argv=None, stdin=None, stdout=None):
     from psi_tpu.serve import GenerationEngine
     from psi_tpu.train.checkpoint import load_newest_checkpoint
     from psi_tpu.train.loop import build_model, init_state
-    from psi_tpu.utils.config import TrainConfig
+    from psi_tpu.utils.config import FitConfig, TrainConfig
 
     from psi_tpu.serve import ServingRouter
 
@@ -77,7 +81,10 @@ def main(argv=None, stdin=None, stdout=None):
             if restored:
                 state = restored["state"]
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        engines[mtype] = GenerationEngine(model, variables, assets, population=args.population)
+        engines[mtype] = GenerationEngine(
+            model, variables, assets, population=args.population,
+            fit_cfg=FitConfig(refresh_every=args.refresh_every),
+        )
 
     warm = sum(e.warmup() for e in engines.values())
     print(
