@@ -25,6 +25,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import flax.struct
 import jax
+import jax.numpy as jnp
 
 from psi_tpu.body.decode import body_vec_to_verts
 from psi_tpu.body.smplx_model import SMPLXModel
@@ -61,14 +62,24 @@ def scene_geometry_losses(
     cam_ext: jax.Array,
     scene_idx: jax.Array,
     contact_denom_offset: float,
+    prune_scene_points: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """(raw contact loss, raw collision loss) for reconstructed bodies.
 
     The body-decode -> chamfer -> SDF chain shared verbatim between the
-    training objective and the fitting objective."""
+    training objective and the fitting objective. prune_scene_points > 0
+    restricts the contact NN search to the K scene points nearest each
+    body's contact centroid (LossConfig.prune_scene_points; 0 = exact)."""
     verts, _ = body_vec_to_verts(assets.smplx, assets.vposer_params, xh_rec, cam_ext)
     contact_verts = verts[:, assets.contact_vids, :]
     scene_pts = assets.scene_verts[scene_idx]  # [B, P, 3]
+    if prune_scene_points and prune_scene_points < scene_pts.shape[1]:
+        centroid = jnp.mean(contact_verts, axis=1)  # [B, 3]
+        cd = jnp.sum((scene_pts - centroid[:, None, :]) ** 2, axis=-1)
+        _, sel = jax.lax.approx_min_k(cd, prune_scene_points, recall_target=0.99)
+        scene_pts = jnp.take_along_axis(
+            scene_pts, jax.lax.stop_gradient(sel)[..., None], axis=1
+        )
     # only the body->scene direction enters the loss (train_s1.py:165-169)
     d1 = chamfer_one_sided(contact_verts, scene_pts)
     loss_contact = contact_robust_loss(d1, contact_denom_offset)
@@ -131,7 +142,8 @@ def cvae_loss(
     loss_vposer = cfg.weight_loss_vposer * vposer_reg_loss(xh_rec[:, 16:48])
 
     raw_contact, raw_collision = scene_geometry_losses(
-        assets, xh_rec, cam_ext, batch["scene_idx"], cfg.contact_denom_offset
+        assets, xh_rec, cam_ext, batch["scene_idx"], cfg.contact_denom_offset,
+        prune_scene_points=cfg.prune_scene_points,
     )
     loss_contact = f_scene * cfg.weight_contact * raw_contact
     loss_collision = f_scene * cfg.weight_collision * raw_collision

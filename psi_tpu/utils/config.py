@@ -22,6 +22,12 @@ class LossConfig:
     weight_collision: float = 1e-1
     loss_weight_anealing: bool = True  # reference spelling kept in CLI
     contact_denom_offset: float = 1.0
+    # contact-chamfer candidate pruning for the TRAINING loss, same
+    # scheme as FitConfig.prune_scene_points (K nearest scene points to
+    # the batch's contact centroid feed the NN kernel). Default 0 =
+    # exact reference semantics; set ~1024 for faster steps (NN winners
+    # preserved in practice, tests/test_fit_prune.py).
+    prune_scene_points: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

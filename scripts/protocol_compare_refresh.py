@@ -1,0 +1,95 @@
+"""Protocol-scale exact-vs-refresh comparison (run on the real TPU).
+
+Runs the PROX-E evaluation protocol (4 scenes x 300 bodies, 20 Adam
+iters each — test_proxe_s1.py:154 / fitting_proxe.py:233) twice from
+IDENTICAL initial CVAE samples: once with the reference-exact every-iter
+fit and once with the selection-refresh schedule (refresh_every=5).
+Reports the paper-protocol scores (non-collision, contact indicator,
+k-means diversity) for both, plus wall times. This is the protocol-scale
+accuracy record behind FitConfig.refresh_every in PARITY.md.
+
+    python scripts/protocol_compare_refresh.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N_PER_SCENE = 300
+N_SCENES = 4
+NUM_ITER = 20
+
+
+def main():
+    from psi_tpu.data.synthetic import SyntheticBatchGenerator, make_synthetic_assets
+    from psi_tpu.eval import collision_contact_scores, diversity_metrics
+    from psi_tpu.fit import make_fit_step
+    from psi_tpu.gen.sample import generate_bodies
+    from psi_tpu.models import HumanCVAES1
+    from psi_tpu.utils.config import FitConfig
+
+    assets, _ = make_synthetic_assets(
+        num_verts=10475, num_joints=55, num_scenes=N_SCENES, sdf_dim=128,
+        scene_points=20000, n_contact=1455, seed=0,
+    )
+    model = HumanCVAES1(latentD=256)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 75)), jnp.zeros((1, 128, 128, 2))
+    )
+    gen = SyntheticBatchGenerator(num_scenes=N_SCENES, batches_per_epoch=N_SCENES, seed=0)
+
+    # identical initial populations for both modes
+    inits = []
+    for si in range(N_SCENES):
+        b = gen.next_batch(1)
+        x72 = generate_bodies(
+            model, variables, jnp.asarray(b["xs"]), jnp.asarray(b["cam_int"]),
+            jnp.asarray(b["max_d"]), N_PER_SCENE, jax.random.PRNGKey(100 + si),
+        )
+        cam_ext = jnp.asarray(np.tile(b["cam_ext"][0][None], (N_PER_SCENE, 1, 1)))
+        inits.append((x72, cam_ext, jnp.full((N_PER_SCENE,), si, jnp.int32)))
+
+    def eval_all(pops):
+        nc, ct = [], []
+        for x72, cam_ext, sidx in pops:
+            s_nc, s_ct = collision_contact_scores(assets, x72, cam_ext, sidx)
+            nc.append(float(s_nc))
+            ct.append(float(s_ct))
+        allx = np.concatenate([np.asarray(p[0]) for p in pops], axis=0)
+        entropy, _ = diversity_metrics(allx)
+        return float(np.mean(nc)), float(np.mean(ct)), float(entropy)
+
+    nc0, ct0, ent0 = eval_all(inits)
+    print(f"[pre-fit ] non-collision={nc0:.4f} contact={ct0:.4f} entropy={ent0:.3f}", flush=True)
+
+    for name, cfg in (
+        ("exact   ", FitConfig(num_iter=NUM_ITER)),
+        ("refresh5", FitConfig(num_iter=NUM_ITER, refresh_every=5)),
+    ):
+        fit = make_fit_step(assets, cfg)
+        # warmup compile on scene 0 shapes
+        out = fit(*inits[0])[0]
+        out.block_until_ready()
+        t0 = time.time()
+        fitted = []
+        for x72, cam_ext, sidx in inits:
+            xf, _, _ = fit(x72, cam_ext, sidx)
+            fitted.append((xf, cam_ext, sidx))
+        fitted[-1][0].block_until_ready()
+        wall = time.time() - t0
+        nc, ct, ent = eval_all(fitted)
+        print(
+            f"[{name}] non-collision={nc:.4f} contact={ct:.4f} entropy={ent:.3f} "
+            f"wall={wall:.1f}s ({N_SCENES * N_PER_SCENE / wall:.0f} bodies/s fit-only)",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
