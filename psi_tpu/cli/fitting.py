@@ -34,8 +34,14 @@ def build_parser():
         "--refresh_every", type=int, default=1,
         help="selection-refresh schedule for the fit losses: full SDF "
         "gathers + NN search every N-th Adam iter, frozen-cell/frozen-"
-        "correspondence math in between (~2x faster at 5; 1 = exact "
-        "reference semantics; accuracy record in PARITY.md)",
+        "correspondence math in between (~2x faster at 5; 1 = full loss "
+        "every iteration; accuracy record in PARITY.md)",
+    )
+    p.add_argument(
+        "--prune_scene_points", type=int, default=1024,
+        help="contact-NN candidate set size (0 = exact full-scene NN "
+        "search; with --refresh_every 1 and 0 here the fit is fully "
+        "reference-exact)",
     )
     from psi_tpu.cli.common import add_asset_args
 
@@ -60,6 +66,7 @@ def main(argv=None):
             weight_loss_rec=1.0, weight_loss_vposer=0.01,
             weight_contact=0.1, weight_collision=0.5,
             refresh_every=args.refresh_every,
+            prune_scene_points=args.prune_scene_points,
         )
         max_files = args.max_files or 1200
     else:
@@ -71,6 +78,7 @@ def main(argv=None):
             weight_loss_rec=1.0, weight_loss_vposer=0.01,
             weight_contact=0.1, weight_collision=0.5,
             refresh_every=args.refresh_every,
+            prune_scene_points=args.prune_scene_points,
         )
         max_files = args.max_files or 10000
 

@@ -38,8 +38,13 @@ def build_parser():
                    help="micro-batch window after the first queued request")
     p.add_argument("--refresh_every", type=int, default=5,
                    help="fit-loss selection-refresh schedule (serving default 5 "
-                   "= ~2x faster refinement; 1 = exact reference semantics; "
-                   "accuracy record in PARITY.md)")
+                   "= ~2x faster refinement; 1 = full loss every iteration; "
+                   "contact candidate pruning still applies — see "
+                   "--prune_scene_points; accuracy record in PARITY.md)")
+    p.add_argument("--prune_scene_points", type=int, default=1024,
+                   help="contact-NN candidate set size (0 = exact full-scene "
+                   "NN search; with refresh_every=1 and 0 here the fit is "
+                   "fully reference-exact)")
     from psi_tpu.cli.common import add_asset_args
 
     add_asset_args(p)
@@ -68,6 +73,11 @@ def main(argv=None, stdin=None, stdout=None):
     roster = []
     for spec in args.model or [f"{args.model_type}={args.ckpt_dir or ''}"]:
         mtype, _, ckpt = spec.partition("=")
+        if mtype in (r[0] for r in roster):
+            raise SystemExit(
+                f"duplicate --model {mtype!r}: model names route requests, so two "
+                f"checkpoints cannot share one (the second would silently win)"
+            )
         roster.append((mtype, ckpt or None))
 
     assets, _ = build_assets(args)
@@ -83,7 +93,10 @@ def main(argv=None, stdin=None, stdout=None):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         engines[mtype] = GenerationEngine(
             model, variables, assets, population=args.population,
-            fit_cfg=FitConfig(refresh_every=args.refresh_every),
+            fit_cfg=FitConfig(
+                refresh_every=args.refresh_every,
+                prune_scene_points=args.prune_scene_points,
+            ),
         )
 
     warm = sum(e.warmup() for e in engines.values())
@@ -99,6 +112,14 @@ def main(argv=None, stdin=None, stdout=None):
     import threading
 
     done_q: "_queue.Queue" = _queue.Queue()
+    # the responder thread and the main loop (stats lines) share stdout;
+    # a lock keeps each JSONL record atomic (print writes the payload
+    # and the newline separately)
+    out_lock = threading.Lock()
+
+    def _emit(obj):
+        with out_lock:
+            print(json.dumps(obj), file=stdout, flush=True)
 
     def _responder():
         # prints responses in submission order as results resolve; the
@@ -111,18 +132,15 @@ def main(argv=None, stdin=None, stdout=None):
             try:
                 res = fut.result()
             except Exception as e:
-                print(json.dumps({"id": rid, "error": str(e)}), file=stdout, flush=True)
+                _emit({"id": rid, "error": str(e)})
                 continue
             out_path = os.path.join(args.out_dir, f"{rid}.npy")
             np.save(out_path, res.bodies)
-            print(
-                json.dumps({
-                    "id": rid, "n": int(res.bodies.shape[0]),
-                    "latency_s": round(res.latency_s, 4),
-                    "batch_size": res.batch_size, "out": out_path,
-                }),
-                file=stdout, flush=True,
-            )
+            _emit({
+                "id": rid, "n": int(res.bodies.shape[0]),
+                "latency_s": round(res.latency_s, 4),
+                "batch_size": res.batch_size, "out": out_path,
+            })
 
     responder = threading.Thread(target=_responder, daemon=True)
     responder.start()
@@ -134,7 +152,7 @@ def main(argv=None, stdin=None, stdout=None):
         if line == "quit":
             break
         if line == "stats":
-            print(json.dumps({"stats": q.stats()}), file=stdout, flush=True)
+            _emit({"stats": q.stats()})
             continue
         req = json.loads(line)
         batch = dict(np.load(req["npz"])) if "npz" in req else {
@@ -152,7 +170,7 @@ def main(argv=None, stdin=None, stdout=None):
     q.stop()  # drains outstanding requests
     done_q.put(None)
     responder.join()
-    print(json.dumps({"stats": q.stats()}), file=stdout, flush=True)
+    _emit({"stats": q.stats()})
 
 
 if __name__ == "__main__":

@@ -56,9 +56,16 @@ def ensure_distributed(
     if coordinator_address is None:
         return False  # single-process run
 
-    from jax._src import xla_bridge
+    # best-effort early diagnosis (the check itself uses a private API,
+    # so degrade gracefully on JAX upgrades: initialize() below still
+    # raises its own error when called too late)
+    try:
+        from jax._src import xla_bridge  # private; may move between versions
 
-    if xla_bridge.backends_are_initialized():  # too late to initialize
+        backends_up = xla_bridge.backends_are_initialized()
+    except Exception:
+        backends_up = False
+    if backends_up:  # too late to initialize
         raise RuntimeError(
             "ensure_distributed() must run before any JAX computation "
             "(jax.devices, device_put, jit, ...) in a multi-process job; "

@@ -78,18 +78,19 @@ class GenerationEngine:
         return batch
 
     def warmup(self, image_size: int = 128) -> float:
-        """Compile the single-request, coalesced, and fit programs;
-        returns warmup seconds."""
+        """Compile all four serving programs — single-request and
+        coalesced, each with and without fitting (they are distinct XLA
+        programs; a path skipped here stalls the first live request on a
+        full compile after 'ready') — returns warmup seconds."""
         t0 = time.time()
         batch = self._dummy_batch(image_size)
-        self.generate(batch, fit=True, scene_idx=0)
-        self.generate_coalesced(
-            [
-                {"batch": batch, "n_samples": 1, "scene_idx": 0},
-                {"batch": batch, "n_samples": 1, "scene_idx": 0},
-            ],
-            fit=True,
-        )
+        reqs = [
+            {"batch": batch, "n_samples": 1, "scene_idx": 0},
+            {"batch": batch, "n_samples": 1, "scene_idx": 0},
+        ]
+        for fit in (True, False):
+            self.generate(batch, fit=fit, scene_idx=0)
+            self.generate_coalesced(reqs, fit=fit)
         return time.time() - t0
 
     def _next_key(self):
@@ -154,7 +155,16 @@ class GenerationEngine:
         offset = 0
         for ri, (req, n) in enumerate(zip(requests, counts)):
             b = req["batch"]
-            xs_stack[ri] = np.asarray(b["xs"], np.float32).reshape(img.shape[1:])
+            arr = np.asarray(b["xs"], np.float32)
+            if arr.shape[-3:] != img.shape[-3:]:
+                # a silent reshape would condition rows on a scrambled
+                # image; ServingQueue groups by shape so this only fires
+                # on direct mis-use of generate_coalesced
+                raise ValueError(
+                    f"request {ri} snapshot shape {arr.shape} does not match "
+                    f"the group's {img.shape}"
+                )
+            xs_stack[ri] = arr.reshape(img.shape[1:])
             cam_int_stack[ri] = np.asarray(b["cam_int"], np.float32).reshape(3, 3)
             max_d_stack[ri] = np.asarray(b["max_d"], np.float32).reshape(-1)[0]
             req_idx[offset : offset + n] = ri
@@ -201,6 +211,8 @@ class _Queued:
     fit: bool
     future: Future
     submit_t: float
+    rows: int = 0  # validated at submit time
+    img_shape: tuple = ()
 
 
 class ServingQueue:
@@ -233,12 +245,23 @@ class ServingQueue:
         fit: bool = False,
         scene_idx: int = 0,
     ) -> Future:
-        """Enqueue one request; returns a Future resolving to ServeResult."""
+        """Enqueue one request; returns a Future resolving to ServeResult.
+
+        Malformed requests (non-integer n_samples, missing/odd-shaped
+        snapshot) fail THEIR future here instead of reaching the worker
+        thread — one bad request must never wedge the queue."""
         fut: Future = Future()
+        try:
+            rows = min(int(n_samples or self.engine.population), self.engine.population)
+            img_shape = tuple(np.asarray(batch["xs"]).shape[1:])
+        except Exception as e:
+            fut.set_exception(e)
+            return fut
         self._q.put(
             _Queued(
-                req={"batch": batch, "n_samples": n_samples, "scene_idx": scene_idx},
+                req={"batch": batch, "n_samples": rows, "scene_idx": scene_idx},
                 fit=fit, future=fut, submit_t=time.time(),
+                rows=rows, img_shape=img_shape,
             )
         )
         return fut
@@ -257,8 +280,21 @@ class ServingQueue:
             out["latency_p99_s"] = float(np.percentile(lat, 99))
         return out
 
-    def _rows(self, item) -> int:
-        return min(int(item.req.get("n_samples") or self.engine.population), self.engine.population)
+    def latencies_snapshot(self) -> List[float]:
+        """Copy of the per-request end-to-end latencies (for aggregation
+        by a router without touching queue internals)."""
+        with self._stats_lock:
+            return list(self._latencies)
+
+    def _compatible(self, first, nxt, rows) -> bool:
+        """May nxt share first's program call? Same fit flag, room in the
+        population, and the same snapshot shape (coalesced rows stack
+        into one xs tensor)."""
+        return (
+            nxt.fit == first.fit
+            and rows + nxt.rows <= self.engine.population
+            and nxt.img_shape == first.img_shape
+        )
 
     def _next_group(self) -> Optional[List[_Queued]]:
         first = self._carry
@@ -267,7 +303,7 @@ class ServingQueue:
             first = self._q.get()
         if first is _STOP:
             return None
-        group, rows = [first], self._rows(first)
+        group, rows = [first], first.rows
         deadline = time.time() + self.linger_s
         while rows < self.engine.population and len(group) < self.engine.max_requests:
             timeout = deadline - time.time()
@@ -278,11 +314,11 @@ class ServingQueue:
             if nxt is _STOP:
                 self._carry = _STOP
                 break
-            if nxt.fit != first.fit or rows + self._rows(nxt) > self.engine.population:
+            if not self._compatible(first, nxt, rows):
                 self._carry = nxt  # incompatible: starts the next group
                 break
             group.append(nxt)
-            rows += self._rows(nxt)
+            rows += nxt.rows
         return group
 
     def _run(self):
@@ -347,8 +383,7 @@ class ServingRouter:
         per = {name: q.stats() for name, q in self.queues.items()}
         lat = []
         for q in self.queues.values():
-            with q._stats_lock:
-                lat.extend(q._latencies)
+            lat.extend(q.latencies_snapshot())
         out: Dict[str, Any] = {
             "requests": sum(p["requests"] for p in per.values()),
             "batches": sum(p["batches"] for p in per.values()),

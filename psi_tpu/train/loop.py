@@ -17,6 +17,7 @@ from typing import Any, Callable, Dict, Optional
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from psi_tpu.models import HumanCVAES1, HumanCVAES2
@@ -223,11 +224,16 @@ class TrainOP:
                 # peak HBM); a leftover tail of < chunk batches goes
                 # through the per-step path with the same key sequence
                 chunk = max(1, cfg.scan_chunk_size)
+                # pending stays HOST-side (numpy): only the current
+                # chunk's stack ever lives on device, which is the whole
+                # point of the chunking (a full PROX epoch of snapshots
+                # is GBs — device_put-ing it all up front would defeat
+                # the scan_chunk_size HBM bound)
                 pending = []
                 while batch_gen.has_next_batch():
                     b = batch_gen.next_batch(cfg.batch_size)
                     if b is not None:
-                        pending.append({k: jnp.asarray(v) for k, v in b.items()})
+                        pending.append({k: np.asarray(v) for k, v in b.items()})
                 n_full = (len(pending) // chunk) * chunk
                 for lo in range(0, n_full, chunk):
                     group = pending[lo : lo + chunk]

@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--scan", type=int, default=0,
                     help="also time the chunked-scan epoch path (K steps per program)")
+    ap.add_argument("--prune", type=int, default=0,
+                    help="LossConfig.prune_scene_points (0 = exact contact NN)")
     args = ap.parse_args()
 
     import jax
@@ -41,12 +43,13 @@ def main():
     model = build_model(cfg)
     opt = optax.adam(cfg.init_lr_h)
     state = init_state(model, cfg, opt, jax.random.PRNGKey(0))
-    step = make_train_step(model, opt, assets, LossConfig(), args.model_type)
+    step = make_train_step(model, opt, assets, LossConfig(prune_scene_points=args.prune), args.model_type)
 
-    gen = SyntheticBatchGenerator(num_scenes=4, batches_per_epoch=args.reps + 2, seed=0)
+    n_batches = max(args.reps + 1, args.scan)
+    gen = SyntheticBatchGenerator(num_scenes=4, batches_per_epoch=n_batches + 1, seed=0)
     batches = [
         {k: jnp.asarray(v) for k, v in gen.next_batch(args.batch).items()}
-        for _ in range(args.reps + 1)
+        for _ in range(n_batches)
     ]
     key = jax.random.PRNGKey(1)
     fca = jnp.float32(1.0)
@@ -77,7 +80,7 @@ def main():
         from psi_tpu.train.loop import make_epoch_step
 
         K = args.scan
-        epoch_fn = make_epoch_step(model, opt, assets, LossConfig(), args.model_type)
+        epoch_fn = make_epoch_step(model, opt, assets, LossConfig(prune_scene_points=args.prune), args.model_type)
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches[:K])
         keys = jax.random.split(jax.random.PRNGKey(2), K)
         state2 = init_state(model, cfg, opt, jax.random.PRNGKey(0))
