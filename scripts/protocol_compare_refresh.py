@@ -25,6 +25,12 @@ N_PER_SCENE = 300
 N_SCENES = 4
 NUM_ITER = 20
 
+if "--habitat" in sys.argv:
+    # MP3D-R protocol shape: 200 bodies/camera, 50 Adam iters,
+    # contact denominator 1.0 (test_habitat_s1.py:240, fitting_habitat.py:141,253)
+    N_PER_SCENE, NUM_ITER = 200, 50
+DENOM = 1.0 if "--habitat" in sys.argv else 0.01
+
 
 def main():
     from psi_tpu.data.synthetic import SyntheticBatchGenerator, make_synthetic_assets
@@ -69,8 +75,8 @@ def main():
     print(f"[pre-fit ] non-collision={nc0:.4f} contact={ct0:.4f} entropy={ent0:.3f}", flush=True)
 
     for name, cfg in (
-        ("exact   ", FitConfig(num_iter=NUM_ITER)),
-        ("refresh5", FitConfig(num_iter=NUM_ITER, refresh_every=5)),
+        ("exact   ", FitConfig(num_iter=NUM_ITER, contact_denom_offset=DENOM)),
+        ("refresh5", FitConfig(num_iter=NUM_ITER, refresh_every=5, contact_denom_offset=DENOM)),
     ):
         fit = make_fit_step(assets, cfg)
         # warmup compile on scene 0 shapes
