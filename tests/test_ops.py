@@ -184,3 +184,40 @@ def test_resize_bilinear_matches_torch(rng, shape, target):
         torch.tensor(img).view(1, 1, *shape), size=target, mode="bilinear", align_corners=False
     ).view(*target).numpy()
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_chamfer_one_sided_nn_matches_one_sided(rng):
+    """chamfer_one_sided_nn: same distances and same x-gradient as
+    chamfer_one_sided; y_nn is the true NN point and carries no gradient
+    (the frozen-correspondence carry for the fit refresh schedule)."""
+    from psi_tpu.ops.chamfer import chamfer_one_sided, chamfer_one_sided_nn
+
+    x = jnp.asarray(rng.normal(size=(3, 50, 3)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(3, 80, 3)).astype(np.float32))
+
+    d_ref = chamfer_one_sided(x, y)
+    d_nn, y_nn = chamfer_one_sided_nn(x, y)
+    # d_ref comes from the |x|^2+|y|^2-2xy expansion, d_nn from the
+    # subtract-square at the winner: equal up to f32 rounding
+    np.testing.assert_allclose(np.asarray(d_nn), np.asarray(d_ref), rtol=2e-4, atol=1e-6)
+    # y_nn really is the nearest neighbour
+    np.testing.assert_allclose(
+        np.asarray(jnp.sum((x - y_nn) ** 2, -1)), np.asarray(d_nn), rtol=1e-6, atol=1e-7
+    )
+
+    def loss_ref(x_):
+        return jnp.sum(jnp.sqrt(chamfer_one_sided(x_, y) + 1e-4))
+
+    def loss_nn(x_):
+        return jnp.sum(jnp.sqrt(chamfer_one_sided_nn(x_, y)[0] + 1e-4))
+
+    g_ref = jax.grad(loss_ref)(x)
+    g_nn = jax.grad(loss_nn)(x)
+    np.testing.assert_allclose(np.asarray(g_nn), np.asarray(g_ref), rtol=1e-4, atol=1e-5)
+
+    # no gradient leaks into y through y_nn (the scene cloud is constant
+    # in every PSI objective)
+    gy = jax.grad(lambda y_: jnp.sum(chamfer_one_sided_nn(x, y_)[0]))(y)
+    # grads flow only via the recomputed distance's y_nn... which is
+    # stop_gradient: dL/dy must be exactly zero
+    assert float(jnp.abs(gy).max()) == 0.0
