@@ -15,7 +15,14 @@ against:
   (fitting_proxe.py:177-189).
 
 This is independent torch code written for measurement — the same math,
-none of the reference's source.
+none of the reference's source. Two deliberate approximations, both of
+which make the BASELINE faster (so the reported multiplier is
+conservative): the scene trunk is a structure-matched hand-rolled
+residual stack at the reference's tensor shapes, not torchvision's
+resnet18 (which has more layers/channels); and the SMPL-X constants are
+synthetic at real shapes. The fit loss itself matches the reference's
+per-iteration graph, including the 6D→matrot→axis-angle conversion of
+the global rotation every step (fitting_proxe.py:107, cvae.py:129-137).
 """
 
 from __future__ import annotations
@@ -195,10 +202,21 @@ def measure_torch_baseline(
     gmax = torch.tensor(grid_max)
     cids = torch.tensor(contact_ids, dtype=torch.long)
 
+    def rot6d_to_aa(x6):
+        # the reference converts the 6D global rotation to axis-angle via
+        # Gram-Schmidt + tgm matrot->aa EVERY fit iteration
+        # (fitting_proxe.py:107, cvae.py:129-137); same graph here
+        x6 = x6.view(-1, 3, 2)
+        b1 = F.normalize(x6[:, :, 0], dim=1)
+        dot = (b1 * x6[:, :, 1]).sum(1, keepdim=True)
+        b2 = F.normalize(x6[:, :, 1] - dot * b1, dim=1)
+        b3 = torch.cross(b1, b2, dim=1)
+        R = torch.stack([b1, b2, b3], dim=-1)
+        return _quat2aa(_mat2quat(R))
+
     def fit_loss(xhr, xhr0):
-        # (6D-rot conversion cost approximated inside body_to_verts path)
         loss_rec = F.l1_loss(xhr, xhr0)
-        x72 = torch.cat([xhr[:, :3], xhr[:, 3:6], xhr[:, 9:]], 1)  # drop extra rot dims
+        x72 = torch.cat([xhr[:, :3], rot6d_to_aa(xhr[:, 3:9]), xhr[:, 9:]], 1)
         loss_vp = 0.01 * (x72[:, 16:48] ** 2).mean()
         verts = body_to_verts(x72)
         cv = verts[:, cids]

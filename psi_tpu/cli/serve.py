@@ -154,13 +154,22 @@ def main(argv=None, stdin=None, stdout=None):
         if line == "stats":
             _emit({"stats": q.stats()})
             continue
-        req = json.loads(line)
-        batch = dict(np.load(req["npz"])) if "npz" in req else {
-            "xs": np.zeros((1, 128, 128, 2), np.float32),
-            "cam_int": np.eye(3, dtype=np.float32)[None] * 500,
-            "cam_ext": np.eye(4, dtype=np.float32)[None],
-            "max_d": np.asarray([6.0], np.float32),
-        }
+        # a malformed line (bad JSON, missing npz file) must fail only
+        # ITS request — other coalesced clients are in flight on this
+        # same loop, so tearing down the server here would abandon them
+        req = None
+        try:
+            req = json.loads(line)
+            batch = dict(np.load(req["npz"])) if "npz" in req else {
+                "xs": np.zeros((1, 128, 128, 2), np.float32),
+                "cam_int": np.eye(3, dtype=np.float32)[None] * 500,
+                "cam_ext": np.eye(4, dtype=np.float32)[None],
+                "max_d": np.asarray([6.0], np.float32),
+            }
+        except Exception as e:
+            rid = req.get("id", "req") if isinstance(req, dict) else "req"
+            _emit({"id": rid, "error": f"{type(e).__name__}: {e}"})
+            continue
         fut = q.submit(
             batch, n_samples=req.get("n_samples"), fit=req.get("fit", False),
             scene_idx=req.get("scene_idx", 0), model=req.get("model"),

@@ -14,6 +14,7 @@ process-level server.
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import queue
 import threading
@@ -25,10 +26,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from psi_tpu.fit.fitting import make_fit_step, make_generate_fit_rows, make_generate_fit_step
+from psi_tpu.fit.fitting import make_generate_fit_rows, make_generate_fit_step
 from psi_tpu.gen.sample import generate_bodies, generate_bodies_rows
 from psi_tpu.train.objective import SceneAssets
 from psi_tpu.utils.config import FitConfig
+
+
+def _validate_rows(n_samples, population: int) -> int:
+    """Row count for a request: None means the full population; anything
+    else must be a positive integer. A negative count would turn the
+    row-partition slice assignments in generate_coalesced into
+    negative-length slices, corrupting OTHER requests' rows in the same
+    micro-batch — so reject it here and fail only this request."""
+    if n_samples is None:
+        return population
+    n = int(n_samples)
+    if n < 1:
+        raise ValueError(f"n_samples must be >= 1, got {n_samples!r}")
+    return min(n, population)
 
 
 @dataclasses.dataclass
@@ -59,7 +74,6 @@ class GenerationEngine:
         self.population = population
         self.fit_cfg = fit_cfg or FitConfig()
         self.max_requests = max_requests  # compiled request-slot count
-        self._fit = make_fit_step(assets, self.fit_cfg)
         # generate+fit as ONE compiled program each (no inter-program
         # host round-trip on the hot serving path)
         self._genfit = make_generate_fit_step(model, assets, self.fit_cfg, population)
@@ -107,7 +121,7 @@ class GenerationEngine:
         """batch: one scene snapshot (xs [1,H,W,2], cam_int [1,3,3],
         cam_ext [1,4,4], max_d [1]). n_samples <= population (the program
         always runs at the compiled population size; extras are dropped)."""
-        n = min(n_samples or self.population, self.population)
+        n = _validate_rows(n_samples, self.population)
         t0 = time.time()
         with self._lock:
             xs = jnp.asarray(batch["xs"])
@@ -139,7 +153,7 @@ class GenerationEngine:
         Returns one ServeResult per request, in order."""
         if len(requests) > self.max_requests:
             raise ValueError(f"{len(requests)} requests > max_requests={self.max_requests}")
-        counts = [min(int(r.get("n_samples") or self.population), self.population) for r in requests]
+        counts = [_validate_rows(r.get("n_samples"), self.population) for r in requests]
         if sum(counts) > self.population:
             raise ValueError(f"sum(n_samples)={sum(counts)} exceeds population={self.population}")
 
@@ -171,7 +185,13 @@ class GenerationEngine:
             cam_ext_rows[offset : offset + n] = np.asarray(b["cam_ext"], np.float32).reshape(-1, 4, 4)[:1]
             sidx_rows[offset : offset + n] = int(req.get("scene_idx", 0))
             offset += n
-        # padding rows recompute request 0 and are discarded on slice-out
+        # padding rows recompute request 0 (req_idx stays 0); give them
+        # request 0's extrinsics/scene too so a degenerate identity-cam
+        # fit can't go NaN and muddy debugging — they are discarded on
+        # slice-out either way
+        if offset < self.population:
+            cam_ext_rows[offset:] = cam_ext_rows[0]
+            sidx_rows[offset:] = sidx_rows[0]
 
         t0 = time.time()
         with self._lock:
@@ -232,7 +252,9 @@ class ServingQueue:
         self._q: "queue.Queue[Any]" = queue.Queue()
         self._carry: Optional[Any] = None
         self._stats_lock = threading.Lock()
-        self._latencies: List[float] = []
+        # bounded window: a long-running server must not leak one float
+        # per request forever (p50/p99 over the last 100k is plenty)
+        self._latencies: "collections.deque[float]" = collections.deque(maxlen=100_000)
         self._requests = 0
         self._batches = 0
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -252,7 +274,7 @@ class ServingQueue:
         thread — one bad request must never wedge the queue."""
         fut: Future = Future()
         try:
-            rows = min(int(n_samples or self.engine.population), self.engine.population)
+            rows = _validate_rows(n_samples, self.engine.population)
             img_shape = tuple(np.asarray(batch["xs"]).shape[1:])
         except Exception as e:
             fut.set_exception(e)

@@ -230,3 +230,51 @@ def test_engine_coalesced_s2_model():
         results = eng.generate_coalesced(reqs, fit=fit)
         assert [r.bodies.shape for r in results] == [(3, 72), (5, 72)]
         assert all(np.isfinite(r.bodies).all() for r in results)
+
+
+def test_negative_n_samples_rejected():
+    """A negative or zero n_samples must fail ITS request (ValueError)
+    rather than corrupting co-batched requests' row partitions
+    (ADVICE round 2, medium)."""
+    eng = _tiny_engine()
+    with pytest.raises(ValueError):
+        eng.generate_coalesced(
+            [{"batch": _snapshot(), "n_samples": -3},
+             {"batch": _snapshot(), "n_samples": 2}]
+        )
+    with pytest.raises(ValueError):
+        eng.generate(_snapshot(), n_samples=0)
+    q = ServingQueue(eng, linger_s=0.01)
+    bad = q.submit(_snapshot(), n_samples=-1)
+    good = q.submit(_snapshot(), n_samples=2)
+    with pytest.raises(ValueError):
+        bad.result(timeout=60)
+    assert good.result(timeout=120).bodies.shape == (2, 72)
+    q.stop()
+
+
+def test_serve_cli_malformed_lines(tmp_path):
+    """Bad JSON / missing npz path emit an error record and the loop keeps
+    serving subsequent requests (ADVICE round 2, low)."""
+    import io as _io
+    from psi_tpu.cli import serve as cli_serve
+
+    reqs = (
+        "this is not json\n"
+        + json.dumps({"id": "missing", "npz": str(tmp_path / "nope.npz"), "n_samples": 1})
+        + "\n"
+        + json.dumps({"id": "ok", "n_samples": 2})
+        + "\nquit\n"
+    )
+    stdout = _io.StringIO()
+    cli_serve.main(
+        ["--latentD", "32", "--population", "4", "--synthetic", "--out_dir", str(tmp_path),
+         "--linger_ms", "20"],
+        stdin=_io.StringIO(reqs), stdout=stdout,
+    )
+    lines = [json.loads(l) for l in stdout.getvalue().strip().splitlines()]
+    errors = [l for l in lines if "error" in l]
+    assert len(errors) == 2
+    assert any(l.get("id") == "missing" for l in errors)
+    by_id = {l["id"]: l for l in lines if "id" in l and "error" not in l}
+    assert by_id["ok"]["n"] == 2  # server survived the bad lines
