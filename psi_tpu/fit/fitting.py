@@ -162,42 +162,19 @@ def _fit_program(cfg: FitConfig):
 
         refresh = cfg.refresh_every > 1
 
-        def step(carry, i):
+        def full_iter(carry, _):
             xhr, opt_state, sel = carry
-
-            def full_pass(_):
-                (_, (metrics, new_sel)), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True
-                )(xhr)
-                return grads, metrics["total"], new_sel
-
-            if refresh:
-                # selection-refresh: the full pass (real SDF gathers, all
-                # scene points ranked) re-freezes the carried state every
-                # refresh_every-th iter; other iters run on it. See
-                # FitConfig.refresh_every.
-                def cheap_pass(_):
-                    (_, (metrics, _)), grads = jax.value_and_grad(
-                        lambda x: loss_fn(x, sel), has_aux=True
-                    )(xhr)
-                    return grads, metrics["total"], sel
-
-                # full during warmup AND at iter w (the first scheduled
-                # refresh lands immediately after warmup). The seemingly
-                # redundant back-to-back full pass was measured to
-                # matter: starting cheap right at iter w (schedule
-                # (i-w+1)%T==0) buys ~8% throughput but degrades the
-                # L1-to-init term 0.051->0.062 at bench shapes — the
-                # first post-warmup steps are still large, so fresher
-                # state there is worth one extra full pass.
-                w = cfg.refresh_warmup
-                is_full = jnp.logical_or(i < w, (i - w) % cfg.refresh_every == 0)
-                grads, total, sel = jax.lax.cond(is_full, full_pass, cheap_pass, None)
-            else:
-                grads, total, sel = full_pass(None)
+            (_, (metrics, new_sel)), grads = jax.value_and_grad(loss_fn, has_aux=True)(xhr)
             updates, opt_state = opt.update(grads, opt_state, xhr)
-            xhr = optax.apply_updates(xhr, updates)
-            return (xhr, opt_state, sel), total
+            return (optax.apply_updates(xhr, updates), opt_state, new_sel), metrics["total"]
+
+        def cheap_iter(carry, _):
+            xhr, opt_state, sel = carry
+            (_, (metrics, _)), grads = jax.value_and_grad(
+                lambda x: loss_fn(x, sel), has_aux=True
+            )(xhr)
+            updates, opt_state = opt.update(grads, opt_state, xhr)
+            return (optax.apply_updates(xhr, updates), opt_state, sel), metrics["total"]
 
         n = xhr_init.shape[0]
         # carried shapes must match what the full pass emits: real-size
@@ -210,10 +187,49 @@ def _fit_program(cfg: FitConfig):
             jnp.zeros((n, cc, 3), jnp.float32),
             (jnp.zeros((n, vc, 8), jnp.float32), jnp.zeros((n, vc, 3), jnp.float32)),
         )
-        init = (xhr_init, opt.init(xhr_init), sel0)
-        (xhr, _, _), loss_hist = jax.lax.scan(
-            step, init, jnp.arange(cfg.num_iter)
-        )
+        carry = (xhr_init, opt.init(xhr_init), sel0)
+
+        if not refresh:
+            carry, loss_hist = jax.lax.scan(full_iter, carry, None, length=cfg.num_iter)
+        else:
+            # selection-refresh as BLOCK structure instead of a per-iter
+            # lax.cond: the schedule "full iff i < w or (i-w) % T == 0"
+            # is static, so unroll it as [w warmup full iters] + [blocks
+            # of 1 full + (T-1) branch-free cheap iters] + a partial
+            # tail block. Identical iterate sequence to the cond form
+            # (tests assert it), but the cheap iters carry no cond/
+            # branch overhead — measured ~2.7 ms/iter of cond+carry cost
+            # at bench shapes (ROUND_NOTES round 2).
+            #
+            # Full during warmup AND at iter w (the first scheduled
+            # refresh lands immediately after warmup). The seemingly
+            # redundant back-to-back full pass was measured to matter:
+            # starting cheap right at iter w buys ~8% throughput but
+            # degrades the L1-to-init term 0.051->0.062 at bench shapes.
+            w = min(cfg.refresh_warmup, cfg.num_iter)
+            T = cfg.refresh_every
+            hists = []
+            if w:
+                carry, h = jax.lax.scan(full_iter, carry, None, length=w)
+                hists.append(h)
+            n_blocks, rem = divmod(cfg.num_iter - w, T)
+
+            def block(carry, _, n_cheap):
+                carry, h_full = full_iter(carry, None)
+                carry, h_cheap = jax.lax.scan(cheap_iter, carry, None, length=n_cheap)
+                return carry, jnp.concatenate([h_full[None], h_cheap], axis=0)
+
+            if n_blocks:
+                carry, h = jax.lax.scan(
+                    lambda c, x: block(c, x, T - 1), carry, None, length=n_blocks
+                )
+                hists.append(h.reshape(n_blocks * T, n))
+            if rem:
+                carry, h = block(carry, None, rem - 1)
+                hists.append(h)
+            loss_hist = jnp.concatenate(hists, axis=0)
+
+        xhr = carry[0]
         _, (final_metrics, _) = loss_fn(xhr)
         return convert_to_3D_rot(xhr), final_metrics, loss_hist
 

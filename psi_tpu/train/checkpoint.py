@@ -40,10 +40,28 @@ def checkpoint_dir_name(
     )
 
 
-def save_checkpoint(save_dir: str, epoch: int, state: Any) -> str:
+def save_checkpoint(
+    save_dir: str, epoch: int, state: Any, key: Any = None, batches_done: int = 0
+) -> str:
+    """Write a checkpoint.
+
+    ``batches_done`` > 0 marks a MID-epoch wall-clock save (the
+    reference saves every ``saving_per_hours`` inside the epoch,
+    source/train_s1.py:303-310): ``epoch`` is then the epoch IN
+    PROGRESS and resume continues it from batch ``batches_done``.
+    ``key`` is the driver's RNG key *after* consuming the per-batch keys
+    for the batches already trained — restoring it makes a resumed run
+    consume exactly the key sequence of an uninterrupted one."""
+    import numpy as np
+
     os.makedirs(save_dir, exist_ok=True)
     payload = {"epoch": epoch, "state": flax.serialization.to_state_dict(state)}
-    path = os.path.join(save_dir, f"epoch-{epoch:06d}.ckp")
+    if key is not None:
+        payload["key"] = np.asarray(key)
+    if batches_done:
+        payload["batches_done"] = int(batches_done)
+    suffix = f"-b{batches_done:05d}" if batches_done else ""
+    path = os.path.join(save_dir, f"epoch-{epoch:06d}{suffix}.ckp")
     with open(path, "wb") as f:
         f.write(flax.serialization.msgpack_serialize(payload))
     return path
@@ -67,7 +85,13 @@ def load_newest_checkpoint(
     try:
         payload = flax.serialization.msgpack_restore(raw)
         state = flax.serialization.from_state_dict(state_template, payload["state"])
-        return {"epoch": int(payload["epoch"]), "state": state, "path": paths[-1]}
+        return {
+            "epoch": int(payload["epoch"]),
+            "state": state,
+            "path": paths[-1],
+            "batches_done": int(payload.get("batches_done", 0)),
+            "key": payload.get("key"),
+        }
     except Exception:
         from psi_tpu.utils.convert_torch import load_reference_checkpoint
 

@@ -200,11 +200,18 @@ class TrainOP:
         metrics_f = open(os.path.join(cfg.save_dir, "metrics.jsonl"), "a")
 
         starting_ep = 0
+        skip_batches = 0  # mid-epoch resume: batches of starting_ep already trained
         if cfg.resume_training:
             restored = load_newest_checkpoint(cfg.save_dir, self.state)
             if restored is not None:
                 self.state = restored["state"]
                 starting_ep = restored["epoch"]
+                skip_batches = int(restored.get("batches_done", 0) or 0)
+                if restored.get("key") is not None:
+                    # continue the exact per-batch key sequence of the
+                    # interrupted run (keys for skipped batches were
+                    # consumed before the checkpoint was written)
+                    self._key = jnp.asarray(restored["key"])
                 log(f"[INFO] --resuming training from {restored['path']}")
 
         last_metrics: Dict[str, float] = {}
@@ -234,6 +241,8 @@ class TrainOP:
                     b = batch_gen.next_batch(cfg.batch_size)
                     if b is not None:
                         pending.append({k: np.asarray(v) for k, v in b.items()})
+                batches_done = skip_batches if ep == starting_ep else 0
+                pending = pending[batches_done:]
                 n_full = (len(pending) // chunk) * chunk
                 for lo in range(0, n_full, chunk):
                     group = pending[lo : lo + chunk]
@@ -253,6 +262,17 @@ class TrainOP:
                         metrics_f.write(
                             json.dumps({"epoch": ep + 1, **{k: float(v[si]) for k, v in metrics.items()}}) + "\n"
                         )
+                    batches_done += len(group)
+                    # mid-epoch wall-clock cadence at chunk boundaries
+                    # (reference: every saving_per_hours INSIDE the
+                    # epoch, train_s1.py:303-310 — a preemption must not
+                    # eat a long epoch)
+                    if (time.time() - start_time) / 3600.0 >= cfg.saving_per_hours:
+                        start_time = time.time()
+                        save_checkpoint(
+                            cfg.save_dir, ep, self.state,
+                            key=self._key, batches_done=batches_done,
+                        )
                 for batch in pending[n_full:]:  # tail: per-step path
                     if self.mesh is not None:
                         batch = shard_batch(batch, self.mesh)
@@ -261,15 +281,28 @@ class TrainOP:
                     )
                     last_metrics = {k: float(v) for k, v in metrics.items()}
                     metrics_f.write(json.dumps({"epoch": ep + 1, **last_metrics}) + "\n")
+                    batches_done += 1
+                    if (time.time() - start_time) / 3600.0 >= cfg.saving_per_hours:
+                        start_time = time.time()
+                        save_checkpoint(
+                            cfg.save_dir, ep, self.state,
+                            key=self._key, batches_done=batches_done,
+                        )
                 batch_gen.reset()
                 if (ep + 1) % cfg.saving_per_epochs == 0:
-                    save_checkpoint(cfg.save_dir, ep + 1, self.state)
+                    save_checkpoint(cfg.save_dir, ep + 1, self.state, key=self._key)
                 continue
 
+            batches_done = 0
+            n_skip = skip_batches if ep == starting_ep else 0
             while batch_gen.has_next_batch():
                 batch = batch_gen.next_batch(cfg.batch_size)
                 if batch is None:
                     continue
+                if batches_done < n_skip:  # mid-epoch resume: already trained
+                    batches_done += 1
+                    continue
+                batches_done += 1
                 if self.mesh is not None:
                     batch = shard_batch(batch, self.mesh)
                 self.state, metrics = self.step_fn(
@@ -292,11 +325,14 @@ class TrainOP:
                     )
                 if (time.time() - start_time) / 3600.0 >= cfg.saving_per_hours:
                     start_time = time.time()
-                    save_checkpoint(cfg.save_dir, ep + 1, self.state)
+                    save_checkpoint(
+                        cfg.save_dir, ep, self.state,
+                        key=self._key, batches_done=batches_done,
+                    )
             batch_gen.reset()
 
             if (ep + 1) % cfg.saving_per_epochs == 0:
-                save_checkpoint(cfg.save_dir, ep + 1, self.state)
+                save_checkpoint(cfg.save_dir, ep + 1, self.state, key=self._key)
 
         metrics_f.close()
         log("[INFO]: Training completes!")

@@ -140,3 +140,57 @@ def test_refresh_final_objective_close(setup):
     np.testing.assert_allclose(
         m1["collision"].mean(), m0["collision"].mean(), rtol=0.15, atol=1e-3
     )
+
+
+def test_block_scan_matches_periter_schedule(setup):
+    """The block-structured scan (warmup fulls + [full + T-1 cheap]
+    blocks + partial tail) must reproduce the per-iteration schedule
+    "full iff i < w or (i-w) % T == 0" exactly — same loss history,
+    same final parameters — here checked against an explicit python
+    loop over _per_body_losses with the same Adam updates. num_iter=13,
+    w=4, T=5 exercises warmup, one complete block, and a partial tail."""
+    import optax
+    from psi_tpu.fit.fitting import _per_body_losses
+    from psi_tpu.geometry.bodyvec import convert_to_6D_rot, convert_to_3D_rot
+
+    a, x72, cam_ext, scene_idx = setup
+    cfg = FitConfig(num_iter=13, contact_denom_offset=1.0, refresh_every=5, refresh_warmup=4)
+    xf, _, hist = _run(a, x72, cam_ext, scene_idx, cfg)
+
+    xhr0 = convert_to_6D_rot(x72)
+    opt = optax.adam(cfg.init_lr_h)
+
+    @jax.jit
+    def full_step(xhr, opt_state):
+        def loss(x):
+            return _per_body_losses(a, x, xhr0, cam_ext, scene_idx, cfg)
+        (_, (m, sel)), g = jax.value_and_grad(loss, has_aux=True)(xhr)
+        up, opt_state = opt.update(g, opt_state, xhr)
+        return optax.apply_updates(xhr, up), opt_state, sel, m["total"]
+
+    @jax.jit
+    def cheap_step(xhr, opt_state, sel):
+        def loss(x):
+            return _per_body_losses(a, x, xhr0, cam_ext, scene_idx, cfg, sel)
+        (_, (m, _)), g = jax.value_and_grad(loss, has_aux=True)(xhr)
+        up, opt_state = opt.update(g, opt_state, xhr)
+        return optax.apply_updates(xhr, up), opt_state, m["total"]
+
+    xhr, opt_state, sel = xhr0, opt.init(xhr0), None
+    ref_hist = []
+    for i in range(cfg.num_iter):
+        w, T = cfg.refresh_warmup, cfg.refresh_every
+        if i < w or (i - w) % T == 0:
+            xhr, opt_state, sel, t = full_step(xhr, opt_state)
+        else:
+            xhr, opt_state, t = cheap_step(xhr, opt_state, sel)
+        ref_hist.append(np.asarray(t))
+
+    np.testing.assert_allclose(hist, np.stack(ref_hist), rtol=2e-5, atol=1e-6)
+    # final params: scan-compiled vs standalone-compiled steps fuse
+    # differently; Adam turns near-zero-grad rounding into +-lr tie
+    # flips on flat directions (see tests/test_multichip.py docstring),
+    # so bound max drift by a few lr and the mean much tighter
+    d = np.abs(xf - np.asarray(convert_to_3D_rot(xhr)))
+    assert d.max() < 3 * cfg.init_lr_h, f"max param drift {d.max()}"
+    assert d.mean() < 0.05 * cfg.init_lr_h, f"mean param drift {d.mean()}"

@@ -218,3 +218,46 @@ def test_trainop_scan_epoch_chunked(tiny_assets, tmp_path):
         d = np.abs(np.asarray(a) - np.asarray(b))
         assert d.max() < 2.5 * lr * 5, f"max param drift {d.max()}"
         assert d.mean() < 0.05 * lr, f"mean param drift {d.mean()}"
+
+
+@pytest.mark.parametrize("scan_epoch", [True, False])
+def test_midepoch_wallclock_resume(tiny_assets, tmp_path, scan_epoch):
+    """A run preempted mid-epoch resumes from the wall-clock checkpoint
+    and reproduces the uninterrupted run exactly: same final step count,
+    same per-batch key sequence (the checkpoint carries the driver key),
+    same params. Reference cadence: train_s1.py:303-310 saves every
+    saving_per_hours INSIDE the epoch; round-2 verdict found the scan
+    branch only saved at epoch boundaries."""
+    assets, _ = tiny_assets
+    base = dict(
+        model_type="s1", latentD=32, batch_size=4, epoch=1,
+        saving_per_epochs=1, verbose=False, seed=7,
+        scan_epoch=scan_epoch, scan_chunk_size=2,
+        saving_per_hours=0.0,  # force a save at every chunk/batch boundary
+    )
+    tag = "scan" if scan_epoch else "step"
+
+    cfg_a = TrainConfig(save_dir=str(tmp_path / f"a_{tag}"), **base)
+    op_a = TrainOP(cfg_a, LossConfig(), assets)
+    op_a.train(SyntheticBatchGenerator(num_scenes=3, batches_per_epoch=6, seed=11))
+    assert int(op_a.state.step) == 6
+
+    # "killed" run: identical training, then strip every checkpoint
+    # written after batch 2 — exactly what a preemption at that point
+    # would leave on disk
+    cfg_b = TrainConfig(save_dir=str(tmp_path / f"b_{tag}"), **base)
+    op_b = TrainOP(cfg_b, LossConfig(), assets)
+    op_b.train(SyntheticBatchGenerator(num_scenes=3, batches_per_epoch=6, seed=11))
+    kept = "epoch-000000-b00002.ckp"
+    names = os.listdir(cfg_b.save_dir)
+    assert kept in names, names
+    for f in names:
+        if f.endswith(".ckp") and f != kept:
+            os.remove(os.path.join(cfg_b.save_dir, f))
+
+    cfg_r = TrainConfig(save_dir=str(tmp_path / f"b_{tag}"), **base)
+    op_r = TrainOP(cfg_r, LossConfig(), assets)
+    op_r.train(SyntheticBatchGenerator(num_scenes=3, batches_per_epoch=6, seed=11))
+    assert int(op_r.state.step) == 6  # 2 restored + 4 resumed
+    for a, r in zip(jax.tree.leaves(op_a.state.params), jax.tree.leaves(op_r.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=1e-6, atol=1e-7)
