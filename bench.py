@@ -41,12 +41,22 @@ def measure_tpu() -> float:
     from psi_tpu.models import HumanCVAES1
     from psi_tpu.utils.config import FitConfig
 
-    assets, _ = make_synthetic_assets(
+    asset_kw = dict(
         num_verts=10475, num_joints=55, num_scenes=4, sdf_dim=SDF_DIM,
         scene_points=SCENE_POINTS, n_contact=N_CONTACT, seed=0,
     )
+    # exact mode fits against f32 grids (reference parity); the
+    # production refresh config uses bf16 corner-packed grids (half the
+    # gather bytes; protocol-score impact measured in EVAL_SYNTH.md)
+    assets, _ = make_synthetic_assets(**asset_kw)
+    assets_bf16, _ = make_synthetic_assets(**asset_kw, sdf_dtype=jnp.bfloat16)
     _log("assets built")
-    model = HumanCVAES1(latentD=256)
+    if "--model" in sys.argv and sys.argv[sys.argv.index("--model") + 1] == "s2":
+        from psi_tpu.models import HumanCVAES2
+
+        model = HumanCVAES2(latentD_g=256, latentD_l=256)
+    else:
+        model = HumanCVAES1(latentD=256)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 75)), jnp.zeros((1, 128, 128, 2))
     )
@@ -62,15 +72,22 @@ def measure_tpu() -> float:
     from psi_tpu.fit.fitting import make_generate_fit_step
 
     # production fit config: selection-refresh mode (full loss pass with
-    # real SDF gathers + NN search every 5th Adam iter after a 4-iter
+    # real SDF gathers + NN search every 10th Adam iter after a 4-iter
     # warmup; frozen-cell SDF patches + frozen NN correspondences in
-    # between — accuracy vs the exact every-iter path measured in
-    # scripts/validate_refresh_fit.py, recorded in PARITY.md)
-    fit_cfg = FitConfig(num_iter=NUM_ITER, refresh_every=5)
-    exact_cfg = FitConfig(num_iter=NUM_ITER)  # reference-exact every-iter path
-    fit = make_fit_step(assets, fit_cfg)
+    # between), single-pass-bf16 LBS contractions, bf16 packed SDF
+    # grids. Protocol-scale accuracy vs the reference-exact every-iter
+    # path measured in scripts/protocol_compare_refresh.py, recorded in
+    # EVAL_SYNTH.md / PARITY.md (non-collision identical, contact within
+    # +-0.005, entropy within noise; only the L1-to-init regularizer
+    # drifts 0.036 -> 0.044).
+    fit_cfg = FitConfig(num_iter=NUM_ITER, refresh_every=10, lbs_precision="fast")
+    # exact mode: every-iteration full pass, f32 grids, split-bf16 LBS.
+    # prune_scene_points=1024 kept (protocol-validated identical to the
+    # full scene cloud, EVAL_SYNTH.md round 3; prune=0 measured there too)
+    exact_cfg = FitConfig(num_iter=NUM_ITER)
+    fit = make_fit_step(assets_bf16, fit_cfg)
     # sample+refine as ONE compiled program (production serving path)
-    genfit = make_generate_fit_step(model, assets, fit_cfg, N_BODIES)
+    genfit = make_generate_fit_step(model, assets_bf16, fit_cfg, N_BODIES)
     genfit_exact = make_generate_fit_step(model, assets, exact_cfg, N_BODIES)
 
     def pipeline(key):
@@ -144,7 +161,10 @@ def measure_tpu() -> float:
             "refresh_every": fit_cfg.refresh_every,
             "refresh_warmup": fit_cfg.refresh_warmup,
             "prune_scene_points": fit_cfg.prune_scene_points,
+            "lbs_precision": fit_cfg.lbs_precision,
+            "sdf_dtype": "bfloat16",
         },
+        "model": type(model).__name__,
         "exact_mode_bodies_per_sec": round(N_BODIES / dt_exact, 2),
         "shapes": {
             "body_verts": 10475, "contact_verts": N_CONTACT,

@@ -25,11 +25,14 @@ def body_vec_to_verts(
     vposer_params: Dict[str, Any],
     x72: jax.Array,
     cam_ext: Optional[jax.Array] = None,
+    precision: str = "high",
 ) -> Tuple[jax.Array, jax.Array]:
     """x72: [B, 72] (axis-angle rot) -> (verts [B, V, 3], joints [B, J, 3]).
 
     cam_ext (optional [B, 4, 4]) applies the camera extrinsics to the
     vertices, matching GeometryTransformer.verts_transform usage.
+    precision: forwarded to lbs() ('high' split-bf16 default; 'fast'
+    single-pass bf16 for throughput-critical optimization loops).
     """
     p = body_params_encapsulate(x72)
     pose_aa = vposer_decode(vposer_params, p["body_pose_vp"])
@@ -41,6 +44,7 @@ def body_vec_to_verts(
         body_pose=pose_aa,
         left_hand_pose=p["left_hand_pose"],
         right_hand_pose=p["right_hand_pose"],
+        precision=precision,
     )
     if cam_ext is not None:
         verts = verts_transform(verts, cam_ext)

@@ -102,6 +102,7 @@ def lbs(
     parents: Tuple[int, ...],
     lbs_weights: jax.Array,
     exact: bool = False,
+    precision: str = "high",
 ) -> Tuple[jax.Array, jax.Array]:
     """Full LBS forward.
 
@@ -116,13 +117,27 @@ def lbs(
     exact:       run the two split-bf16 contractions at full input
                  precision instead (slower; used for f64 parity tests
                  against the reference human_body_prior/body_model/lbs.py)
+    precision:   'high' (default) — split-bf16 for the two FLOP-heavy
+                 contractions, ~16-bit-mantissa vertex accuracy;
+                 'fast' — single-pass bf16 MXU with f32 accumulation
+                 (~2^-8-relative vertex error, mm-scale at metre scale;
+                 measured fit-protocol impact recorded in PARITY.md).
+                 The tiny tree-compose matmuls stay f32-HIGHEST in all
+                 modes. `exact=True` overrides to full input precision.
     Returns (verts [B, V, 3], joints [B, J, 3]).
     """
     B = betas.shape[0]
     J = len(parents)
 
     v_shaped = v_template[None] + blend_shapes(betas, shapedirs)
-    joints = vertices2joints(J_regressor, v_shaped)
+    if not exact and precision == "fast":
+        # single-pass bf16 joint regression (f32 accumulate): ~mm-scale
+        # joint error, measured fit impact in PARITY.md
+        joints = jnp.einsum(
+            "bik,ji->bjk", v_shaped, J_regressor, preferred_element_type=jnp.float32
+        )
+    else:
+        joints = vertices2joints(J_regressor, v_shaped)
 
     rot_mats = aa_to_matrix(pose_aa.reshape(B, J, 3))  # [B, J, 3, 3]
 
@@ -131,6 +146,10 @@ def lbs(
         pose_feature = (rot_mats[:, 1:] - ident).reshape(B, -1)  # [B, (J-1)*9]
         if exact:
             pose_offsets = jnp.matmul(pose_feature, posedirs, precision=_P).reshape(B, -1, 3)
+        elif precision == "fast":
+            pose_offsets = jnp.matmul(
+                pose_feature, posedirs, preferred_element_type=jnp.float32
+            ).reshape(B, -1, 3)
         else:
             pose_offsets = matmul_f32x3(pose_feature, posedirs).reshape(B, -1, 3)
         v_posed = v_shaped + pose_offsets
@@ -146,6 +165,8 @@ def lbs(
     A12 = A[:, :, :3, :].reshape(B, J, 12)  # rows interleave (R | t)
     if exact:
         T = jnp.einsum("vj,bjz->bvz", lbs_weights, A12, precision=_P)
+    elif precision == "fast":
+        T = jnp.einsum("vj,bjz->bvz", lbs_weights, A12, preferred_element_type=jnp.float32)
     else:
         T = einsum_f32x3("vj,bjz->bvz", lbs_weights, A12, a_axis=1, b_axis=1)
     T34 = T.reshape(B, -1, 3, 4)

@@ -209,6 +209,7 @@ def smplx_forward(
     jaw_pose: Optional[jax.Array] = None,  # [B, 3]
     leye_pose: Optional[jax.Array] = None,
     reye_pose: Optional[jax.Array] = None,
+    precision: str = "high",
 ) -> Tuple[jax.Array, jax.Array]:
     """SMPL-X forward: body params -> (vertices [B, V, 3], joints [B, J, 3]).
 
@@ -258,6 +259,7 @@ def smplx_forward(
         model.J_regressor,
         model.parents,
         model.lbs_weights,
+        precision=precision,
     )
     verts = verts + transl[:, None, :]
     joints = joints + transl[:, None, :]

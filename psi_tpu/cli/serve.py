@@ -10,6 +10,16 @@ flight (or within the linger window) coalesce into ONE device round-trip
 shared the program. The line ``stats`` emits queue statistics including
 p50/p99 end-to-end latency; a stats record is also emitted at shutdown.
 
+STREAMING: a request whose n_samples exceeds the compiled population is
+served as multiple chunk sub-requests; one response record per chunk is
+emitted AS IT COMPLETES, with "chunk"/"n_chunks"/"final" fields, so a
+client asking for thousands of bodies sees the first population-size
+batch at single-request latency.
+
+WARMUP: --warmup selects which of the four serving programs compile
+before "ready" (all/none/comma list) — deployments that use one path
+skip the others' compile time.
+
   python -m psi_tpu.cli.serve --ckpt_dir ckpts --population 256 [--synthetic]
 """
 
@@ -45,6 +55,13 @@ def build_parser():
                    help="contact-NN candidate set size (0 = exact full-scene "
                    "NN search; with refresh_every=1 and 0 here the fit is "
                    "fully reference-exact)")
+    p.add_argument("--warmup", type=str, default="all",
+                   help="comma-separated serving programs to compile before "
+                   "'ready': subset of single,single_fit,coalesced,"
+                   "coalesced_fit; 'all' (default) or 'none'. A skipped "
+                   "program compiles lazily on its first live request — "
+                   "select only what the deployment uses (a full 2-model "
+                   "4-program warmup measured ~18 min through a dev tunnel)")
     from psi_tpu.cli.common import add_asset_args
 
     add_asset_args(p)
@@ -99,9 +116,23 @@ def main(argv=None, stdin=None, stdout=None):
             ),
         )
 
-    warm = sum(e.warmup() for e in engines.values())
+    if args.warmup == "none":
+        programs = ()
+    elif args.warmup == "all":
+        programs = None  # engine default: all four
+    else:
+        programs = tuple(s for s in args.warmup.split(",") if s)
+    per_model_warm = {
+        name: round(e.warmup(programs=programs), 2) if programs != () else 0.0
+        for name, e in engines.items()
+    }
     print(
-        json.dumps({"status": "ready", "warmup_s": round(warm, 2), "models": list(engines)}),
+        json.dumps({
+            "status": "ready", "warmup_s": round(sum(per_model_warm.values()), 2),
+            "warmup_per_model_s": per_model_warm,
+            "warmup_programs": list(programs) if programs is not None else "all",
+            "models": list(engines),
+        }),
         file=stdout, flush=True,
     )
 
@@ -123,24 +154,35 @@ def main(argv=None, stdin=None, stdout=None):
 
     def _responder():
         # prints responses in submission order as results resolve; the
-        # main thread stays free to read stdin, so bursts coalesce
+        # main thread stays free to read stdin, so bursts coalesce.
+        # Streamed (chunked) requests emit one record per chunk as it
+        # lands — the client sees partial populations immediately.
         while True:
             item = done_q.get()
             if item is None:
                 return
-            rid, fut = item
+            rid, fut, chunk, n_chunks = item
             try:
                 res = fut.result()
             except Exception as e:
-                _emit({"id": rid, "error": str(e)})
+                err = {"id": rid, "error": str(e)}
+                if n_chunks > 1:
+                    err["chunk"] = chunk
+                _emit(err)
                 continue
-            out_path = os.path.join(args.out_dir, f"{rid}.npy")
+            suffix = f".chunk{chunk:03d}" if n_chunks > 1 else ""
+            out_path = os.path.join(args.out_dir, f"{rid}{suffix}.npy")
             np.save(out_path, res.bodies)
-            _emit({
+            rec = {
                 "id": rid, "n": int(res.bodies.shape[0]),
                 "latency_s": round(res.latency_s, 4),
                 "batch_size": res.batch_size, "out": out_path,
-            })
+            }
+            if n_chunks > 1:
+                rec["chunk"] = chunk
+                rec["n_chunks"] = n_chunks
+                rec["final"] = chunk == n_chunks - 1
+            _emit(rec)
 
     responder = threading.Thread(target=_responder, daemon=True)
     responder.start()
@@ -170,11 +212,25 @@ def main(argv=None, stdin=None, stdout=None):
             rid = req.get("id", "req") if isinstance(req, dict) else "req"
             _emit({"id": rid, "error": f"{type(e).__name__}: {e}"})
             continue
-        fut = q.submit(
-            batch, n_samples=req.get("n_samples"), fit=req.get("fit", False),
-            scene_idx=req.get("scene_idx", 0), model=req.get("model"),
-        )
-        done_q.put((req.get("id", "req"), fut))
+        rid = req.get("id", "req")
+        n_req = req.get("n_samples")
+        kw = dict(fit=req.get("fit", False), scene_idx=req.get("scene_idx", 0),
+                  model=req.get("model"))
+        if n_req is not None and int(n_req) > args.population:
+            # STREAMING: a population larger than the compiled shape is
+            # served as ceil(n/population) chunk sub-requests through the
+            # same coalescing queue; each chunk's record is emitted the
+            # moment it completes ("chunk"/"n_chunks"/"final" fields)
+            n_req = int(n_req)
+            sizes = [args.population] * (n_req // args.population)
+            if n_req % args.population:
+                sizes.append(n_req % args.population)
+            for ci, sz in enumerate(sizes):
+                fut = q.submit(batch, n_samples=sz, **kw)
+                done_q.put((rid, fut, ci, len(sizes)))
+        else:
+            fut = q.submit(batch, n_samples=n_req, **kw)
+            done_q.put((rid, fut, 0, 1))
 
     q.stop()  # drains outstanding requests
     done_q.put(None)

@@ -78,7 +78,10 @@ def _per_body_losses(
     loss_vposer = cfg.weight_loss_vposer * jnp.mean(xh[:, 16:48] ** 2, axis=1)
 
     def _decode(xh_):
-        return body_vec_to_verts(assets.smplx, assets.vposer_params, xh_, cam_ext)[0]
+        return body_vec_to_verts(
+            assets.smplx, assets.vposer_params, xh_, cam_ext,
+            precision=cfg.lbs_precision,
+        )[0]
 
     if cfg.remat_decode:
         _decode = jax.checkpoint(_decode)

@@ -91,20 +91,36 @@ class GenerationEngine:
         batch["cam_int"][0, 2, 2] = 1.0
         return batch
 
-    def warmup(self, image_size: int = 128) -> float:
-        """Compile all four serving programs — single-request and
-        coalesced, each with and without fitting (they are distinct XLA
-        programs; a path skipped here stalls the first live request on a
-        full compile after 'ready') — returns warmup seconds."""
+    WARMUP_PROGRAMS = ("single", "single_fit", "coalesced", "coalesced_fit")
+
+    def warmup(self, image_size: int = 128, programs: Optional[Sequence[str]] = None) -> float:
+        """Compile the selected serving programs — by default all four:
+        single-request and coalesced, each with and without fitting (they
+        are distinct XLA programs; a path skipped here stalls the first
+        live request on a full compile after 'ready'). ``programs``
+        selects a subset (names in WARMUP_PROGRAMS) so a deployment that
+        only serves, say, coalesced fitted requests does not pay the full
+        4-program compile (measured ~18 min for a 2-model roster through
+        a dev tunnel). Returns warmup seconds."""
+        sel = tuple(programs) if programs is not None else self.WARMUP_PROGRAMS
+        unknown = set(sel) - set(self.WARMUP_PROGRAMS)
+        if unknown:
+            raise ValueError(f"unknown warmup programs {sorted(unknown)}; "
+                             f"valid: {self.WARMUP_PROGRAMS}")
         t0 = time.time()
         batch = self._dummy_batch(image_size)
         reqs = [
             {"batch": batch, "n_samples": 1, "scene_idx": 0},
             {"batch": batch, "n_samples": 1, "scene_idx": 0},
         ]
-        for fit in (True, False):
-            self.generate(batch, fit=fit, scene_idx=0)
-            self.generate_coalesced(reqs, fit=fit)
+        if "single" in sel:
+            self.generate(batch, fit=False, scene_idx=0)
+        if "single_fit" in sel:
+            self.generate(batch, fit=True, scene_idx=0)
+        if "coalesced" in sel:
+            self.generate_coalesced(reqs, fit=False)
+        if "coalesced_fit" in sel:
+            self.generate_coalesced(reqs, fit=True)
         return time.time() - t0
 
     def _next_key(self):

@@ -121,6 +121,13 @@ class FitConfig:
     # gradient scale), so frozen state is stalest exactly then; freezing
     # only after the step size settles keeps the cheap iters honest.
     refresh_warmup: int = 4
+    # LBS precision inside the fit loss: 'high' = split-bf16 (~16-bit
+    # mantissa, sub-0.1mm verts) — the parity-grade default; 'fast' =
+    # single-pass bf16 MXU with f32 accumulation for the three
+    # FLOP-heavy LBS contractions (~2^-8-relative ≈ mm-scale vertex
+    # error — well under the SDF cell size and the contact-loss scale;
+    # protocol-score impact measured in PARITY.md).
+    lbs_precision: str = "high"
 
 
 def save_config(cfg, path: str) -> None:

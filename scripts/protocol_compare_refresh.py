@@ -1,14 +1,18 @@
-"""Protocol-scale exact-vs-refresh comparison (run on the real TPU).
+"""Protocol-scale fit-config accuracy/throughput sweep (run on real TPU).
 
 Runs the PROX-E evaluation protocol (4 scenes x 300 bodies, 20 Adam
-iters each — test_proxe_s1.py:154 / fitting_proxe.py:233) twice from
-IDENTICAL initial CVAE samples: once with the reference-exact every-iter
-fit and once with the selection-refresh schedule (refresh_every=5).
-Reports the paper-protocol scores (non-collision, contact indicator,
-k-means diversity) for both, plus wall times. This is the protocol-scale
-accuracy record behind FitConfig.refresh_every in PARITY.md.
+iters each — test_proxe_s1.py:154 / fitting_proxe.py:233) once per fit
+configuration from IDENTICAL initial CVAE samples, and reports for each:
+the paper-protocol scores (non-collision, contact indicator, k-means
+diversity), the mean final per-body loss terms (rec = L1-to-init,
+contact, collision, total), and wall time. This is the protocol-scale
+accuracy record behind FitConfig.{refresh_every, prune_scene_points,
+lbs_precision} and the bf16-packed-SDF default in PARITY.md /
+EVAL_SYNTH.md.
 
-    python scripts/protocol_compare_refresh.py
+    python scripts/protocol_compare_refresh.py             # PROX-E shape
+    python scripts/protocol_compare_refresh.py --habitat   # MP3D-R shape
+    python scripts/protocol_compare_refresh.py --quick     # subset of variants
 """
 
 import os
@@ -40,17 +44,19 @@ def main():
     from psi_tpu.models import HumanCVAES1
     from psi_tpu.utils.config import FitConfig
 
-    assets, _ = make_synthetic_assets(
+    asset_kw = dict(
         num_verts=10475, num_joints=55, num_scenes=N_SCENES, sdf_dim=128,
         scene_points=20000, n_contact=1455, seed=0,
     )
+    assets, _ = make_synthetic_assets(**asset_kw)
+    assets_bf16, _ = make_synthetic_assets(**asset_kw, sdf_dtype=jnp.bfloat16)
     model = HumanCVAES1(latentD=256)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 75)), jnp.zeros((1, 128, 128, 2))
     )
     gen = SyntheticBatchGenerator(num_scenes=N_SCENES, batches_per_epoch=N_SCENES, seed=0)
 
-    # identical initial populations for both modes
+    # identical initial populations for all modes
     inits = []
     for si in range(N_SCENES):
         b = gen.next_batch(1)
@@ -62,6 +68,8 @@ def main():
         inits.append((x72, cam_ext, jnp.full((N_PER_SCENE,), si, jnp.int32)))
 
     def eval_all(pops):
+        # scores always against the f32 assets — the evaluation protocol
+        # is fixed; only the FIT may use quantized grids
         nc, ct = [], []
         for x72, cam_ext, sidx in pops:
             s_nc, s_ct = collision_contact_scores(assets, x72, cam_ext, sidx)
@@ -72,27 +80,50 @@ def main():
         return float(np.mean(nc)), float(np.mean(ct)), float(entropy)
 
     nc0, ct0, ent0 = eval_all(inits)
-    print(f"[pre-fit ] non-collision={nc0:.4f} contact={ct0:.4f} entropy={ent0:.3f}", flush=True)
+    print(f"[pre-fit          ] non-collision={nc0:.4f} contact={ct0:.4f} entropy={ent0:.3f}",
+          flush=True)
 
-    for name, cfg in (
-        ("exact   ", FitConfig(num_iter=NUM_ITER, contact_denom_offset=DENOM)),
-        ("refresh5", FitConfig(num_iter=NUM_ITER, refresh_every=5, contact_denom_offset=DENOM)),
-    ):
-        fit = make_fit_step(assets, cfg)
+    def C(**kw):
+        return FitConfig(num_iter=NUM_ITER, contact_denom_offset=DENOM, **kw)
+
+    # (name, config, assets). prune_scene_points defaults to 1024, so
+    # 'exact-full' (prune=0) is the true reference-exact run.
+    variants = [
+        ("exact-full       ", C(prune_scene_points=0), assets),
+        ("exact-prune1024  ", C(), assets),
+        ("refresh5         ", C(refresh_every=5), assets),
+        ("refresh10        ", C(refresh_every=10), assets),
+        ("refresh10-fastlbs", C(refresh_every=10, lbs_precision="fast"), assets),
+        ("r10-fast-bf16sdf ", C(refresh_every=10, lbs_precision="fast"), assets_bf16),
+        ("r5-fast-bf16sdf  ", C(refresh_every=5, lbs_precision="fast"), assets_bf16),
+    ]
+    if "--quick" in sys.argv:
+        variants = [v for v in variants if v[0].strip() in
+                    ("exact-prune1024", "refresh5", "r10-fast-bf16sdf")]
+    if "--only" in sys.argv:  # resume after an infra fault: comma-sep names
+        keep = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        variants = [v for v in variants if v[0].strip() in keep]
+
+    for name, cfg, a in variants:
+        fit = make_fit_step(a, cfg)
         # warmup compile on scene 0 shapes
         out = fit(*inits[0])[0]
         out.block_until_ready()
         t0 = time.time()
-        fitted = []
+        fitted, finals = [], []
         for x72, cam_ext, sidx in inits:
-            xf, _, _ = fit(x72, cam_ext, sidx)
+            xf, m, _ = fit(x72, cam_ext, sidx)
             fitted.append((xf, cam_ext, sidx))
+            finals.append(m)
         fitted[-1][0].block_until_ready()
         wall = time.time() - t0
         nc, ct, ent = eval_all(fitted)
+        mean = {k: float(np.mean([np.asarray(m[k]) for m in finals])) for k in finals[0]}
         print(
             f"[{name}] non-collision={nc:.4f} contact={ct:.4f} entropy={ent:.3f} "
-            f"wall={wall:.1f}s ({N_SCENES * N_PER_SCENE / wall:.0f} bodies/s fit-only)",
+            f"wall={wall:.1f}s ({N_SCENES * N_PER_SCENE / wall:.0f} bodies/s fit-only) | "
+            f"rec={mean['rec']:.4f} cont={mean['contact']:.4f} "
+            f"coll={mean['collision']:.4f} total={mean['total']:.4f}",
             flush=True,
         )
 

@@ -205,3 +205,23 @@ def test_vposer_encode_decode_consistency():
     assert out["std"].shape == (4, 32)
     assert np.all(np.asarray(out["std"]) > 0)
     assert out["pose_aa"].shape == (4, 63)
+
+
+def test_lbs_fast_precision_close():
+    """'fast' (single-pass bf16 MXU) verts stay within mm-scale of the
+    'high' (split-bf16) path — the measured-accuracy contract behind
+    FitConfig.lbs_precision='fast'."""
+    import jax.numpy as jnp
+    from psi_tpu.body.decode import body_vec_to_verts
+    from psi_tpu.body.smplx_model import synthetic_smplx
+    from psi_tpu.body.vposer import synthetic_vposer_params
+
+    m = synthetic_smplx(num_verts=512, num_joints=22, seed=0)
+    vp = synthetic_vposer_params(seed=0)
+    rng = np.random.default_rng(0)
+    x72 = jnp.asarray((rng.normal(size=(4, 72)) * 0.3).astype(np.float32))
+    v_hi, j_hi = body_vec_to_verts(m, vp, x72, precision="high")
+    v_fast, j_fast = body_vec_to_verts(m, vp, x72, precision="fast")
+    scale = float(np.abs(np.asarray(v_hi)).max())
+    assert float(np.abs(np.asarray(v_fast) - np.asarray(v_hi)).max()) < 0.02 * scale
+    assert float(np.abs(np.asarray(j_fast) - np.asarray(j_hi)).max()) < 0.02 * scale
