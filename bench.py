@@ -82,7 +82,7 @@ def measure_tpu() -> float:
     # drifts 0.036 -> 0.044).
     fit_cfg = FitConfig(num_iter=NUM_ITER, refresh_every=10, lbs_precision="fast")
     # exact mode: every-iteration full pass, f32 grids, split-bf16 LBS.
-    # prune_scene_points=1024 kept (protocol-validated identical to the
+    # prune_scene_points=2048 kept (protocol-validated identical to the
     # full scene cloud, EVAL_SYNTH.md round 3; prune=0 measured there too)
     exact_cfg = FitConfig(num_iter=NUM_ITER)
     fit = make_fit_step(assets_bf16, fit_cfg)

@@ -38,7 +38,7 @@ def build_parser():
         "every iteration; accuracy record in PARITY.md)",
     )
     p.add_argument(
-        "--prune_scene_points", type=int, default=1024,
+        "--prune_scene_points", type=int, default=2048,
         help="contact-NN candidate set size (0 = exact full-scene NN "
         "search; with --refresh_every 1 and 0 here the fit is fully "
         "reference-exact)",

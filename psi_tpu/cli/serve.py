@@ -51,7 +51,7 @@ def build_parser():
                    "= ~2x faster refinement; 1 = full loss every iteration; "
                    "contact candidate pruning still applies — see "
                    "--prune_scene_points; accuracy record in PARITY.md)")
-    p.add_argument("--prune_scene_points", type=int, default=1024,
+    p.add_argument("--prune_scene_points", type=int, default=2048,
                    help="contact-NN candidate set size (0 = exact full-scene "
                    "NN search; with refresh_every=1 and 0 here the fit is "
                    "fully reference-exact)")

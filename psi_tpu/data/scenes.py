@@ -24,6 +24,8 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
+from psi_tpu.ops.prune import morton_argsort
+
 _FAR = 1.0e5
 
 
@@ -88,7 +90,16 @@ def build_registry(
         mins[i] = grid_mins[i]
         maxs[i] = new_max
         v = np.asarray(verts_list[i], np.float32)
-        verts_stack[i, : v.shape[0]] = v
+        # Morton-order the cloud so small point tiles are spatial blobs —
+        # the contact-NN pruning selects tile-granular candidate sets
+        # (ops/prune.py). NN searches and eval are order-invariant.
+        perm = morton_argsort(v)
+        verts_stack[i, : v.shape[0]] = v[perm]
+        if faces_list is not None and faces_list[i] is not None and len(faces_list[i]):
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(perm.shape[0])
+            faces_list = list(faces_list)
+            faces_list[i] = inv[np.asarray(faces_list[i], np.int64)].astype(np.int32)
         n_verts[i] = v.shape[0]
 
     return SceneRegistry(

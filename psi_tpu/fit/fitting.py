@@ -41,6 +41,7 @@ import optax
 from psi_tpu.body.decode import body_vec_to_verts
 from psi_tpu.geometry.bodyvec import convert_to_3D_rot, convert_to_6D_rot
 from psi_tpu.ops.chamfer import chamfer_one_sided, chamfer_one_sided_nn
+from psi_tpu.ops.prune import select_near_tiles
 from psi_tpu.ops.sdf import (
     sdf_trilinear_from_cache,
     sdf_trilinear_packed,
@@ -97,15 +98,11 @@ def _per_body_losses(
         ks = cfg.prune_scene_points
         if ks and ks < scene_pts.shape[1]:
             # candidate pruning: the NN search only needs scene points
-            # near the body; keep the K nearest to the contact centroid.
-            # Costs O(B*M) adds + an approx_min_k, and cuts the
-            # O(B*C*M) argmin kernel ~M/K x.
+            # near the body; keep the ~K nearest (tile-granular over
+            # the Morton-ordered cloud, ops/prune.py). Cuts the
+            # O(B*C*M) argmin ~M/K x.
             centroid = jnp.mean(contact_verts, axis=1)  # [N, 3]
-            cd = jnp.sum((scene_pts - centroid[:, None, :]) ** 2, axis=-1)
-            _, sel_s = jax.lax.approx_min_k(cd, ks, recall_target=0.99)
-            scene_pts = jnp.take_along_axis(
-                scene_pts, jax.lax.stop_gradient(sel_s)[..., None], axis=1
-            )
+            scene_pts = select_near_tiles(scene_pts, centroid, ks)
         if cfg.refresh_every > 1:
             d1, y_nn = chamfer_one_sided_nn(contact_verts, scene_pts)
         else:

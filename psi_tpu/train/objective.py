@@ -74,12 +74,10 @@ def scene_geometry_losses(
     contact_verts = verts[:, assets.contact_vids, :]
     scene_pts = assets.scene_verts[scene_idx]  # [B, P, 3]
     if prune_scene_points and prune_scene_points < scene_pts.shape[1]:
+        from psi_tpu.ops.prune import select_near_tiles
+
         centroid = jnp.mean(contact_verts, axis=1)  # [B, 3]
-        cd = jnp.sum((scene_pts - centroid[:, None, :]) ** 2, axis=-1)
-        _, sel = jax.lax.approx_min_k(cd, prune_scene_points, recall_target=0.99)
-        scene_pts = jnp.take_along_axis(
-            scene_pts, jax.lax.stop_gradient(sel)[..., None], axis=1
-        )
+        scene_pts = select_near_tiles(scene_pts, centroid, prune_scene_points)
     # only the body->scene direction enters the loss (train_s1.py:165-169)
     d1 = chamfer_one_sided(contact_verts, scene_pts)
     loss_contact = contact_robust_loss(d1, contact_denom_offset)

@@ -88,19 +88,29 @@ class FitConfig:
     weight_contact: float = 0.1
     weight_collision: float = 0.5
     contact_denom_offset: float = 0.01  # 1.0 for habitat (fitting_habitat.py:141)
-    # contact chamfer: per-iteration candidate pruning — keep only the K
+    # contact chamfer: per-iteration candidate pruning — keep the ~K
     # scene points nearest each body's contact centroid before the NN
-    # kernel (the argmin winner is preserved in practice: the selection
-    # re-runs every iteration with K >> the NN's centroid-distance rank;
-    # equality is asserted in tests/test_fit_prune.py). 0 = exact full set.
-    prune_scene_points: int = 1024
+    # kernel, selected tile-granularly over the Morton-ordered scene
+    # cloud (ops/prune.py::select_near_tiles — dense reduces + one tiny
+    # exact top_k + one-hot MXU fetch; the earlier approx_min_k
+    # formulation lowered to the ApproxTopK custom call, which
+    # hard-faulted the TPU inside some refresh-scan structures). The
+    # selection re-runs every full pass with K >> the NN's
+    # centroid-distance rank; fitted-parameter equality vs the exact
+    # path is asserted in tests/test_fit_prune.py and at protocol scale
+    # in EVAL_SYNTH.md. 0 = exact full set. Default 2048, NOT 1024:
+    # K=1024 compiles 50-iter refresh-block programs at population
+    # >=200 into a TPU hard-fault (a compiler/runtime bug bisected in
+    # round 3 — every selection formulation faulted at K=1024 while
+    # K=2048 and prune=0 run clean; see ops/prune.py).
+    prune_scene_points: int = 2048
     # rematerialize the VPoser-decode -> LBS chain in the backward pass
     # instead of storing its [N, V, ...] residuals (HBM-bound path —
     # trades MXU FLOPs, which are underutilized here, for HBM traffic)
     remat_decode: bool = False
     # selection-refresh mode (refresh_every > 1): a FULL loss pass — one
     # real packed-grid gather per vertex (the gather-engine-latency-bound
-    # cost) and an approx_min_k ranking of all scene points — runs only
+    # cost) and a tile-pruned NN search over the scene cloud — runs only
     # every refresh_every-th fit iteration. In between, the collision
     # term re-evaluates EVERY vertex against the frozen trilinear patch
     # of the grid cell it occupied at the last refresh (corner rows are

@@ -86,20 +86,26 @@ def main():
     def C(**kw):
         return FitConfig(num_iter=NUM_ITER, contact_denom_offset=DENOM, **kw)
 
-    # (name, config, assets). prune_scene_points defaults to 1024, so
+    # (name, config, assets). prune_scene_points defaults to 2048, so
     # 'exact-full' (prune=0) is the true reference-exact run.
     variants = [
         ("exact-full       ", C(prune_scene_points=0), assets),
-        ("exact-prune1024  ", C(), assets),
+        ("exact-prune2048  ", C(), assets),
         ("refresh5         ", C(refresh_every=5), assets),
         ("refresh10        ", C(refresh_every=10), assets),
+        # diagnostic variant, habitat shape only: at the PROX-E shape
+        # (300 bodies, 20 iters) refresh10+prune0 compiles into the TPU
+        # hard-fault that K=1024 triggers elsewhere (EVAL_SYNTH.md);
+        # prune2048 passes at BOTH protocol shapes.
+        *([("refresh10-prune0 ", C(refresh_every=10, prune_scene_points=0), assets)]
+          if "--habitat" in sys.argv else []),
         ("refresh10-fastlbs", C(refresh_every=10, lbs_precision="fast"), assets),
         ("r10-fast-bf16sdf ", C(refresh_every=10, lbs_precision="fast"), assets_bf16),
         ("r5-fast-bf16sdf  ", C(refresh_every=5, lbs_precision="fast"), assets_bf16),
     ]
     if "--quick" in sys.argv:
         variants = [v for v in variants if v[0].strip() in
-                    ("exact-prune1024", "refresh5", "r10-fast-bf16sdf")]
+                    ("exact-prune2048", "refresh5", "r10-fast-bf16sdf")]
     if "--only" in sys.argv:  # resume after an infra fault: comma-sep names
         keep = set(sys.argv[sys.argv.index("--only") + 1].split(","))
         variants = [v for v in variants if v[0].strip() in keep]
