@@ -59,6 +59,8 @@ def _per_body_losses(
     scene_idx: jax.Array,  # [N]
     cfg: FitConfig,
     sel=None,
+    fresh_nn: Optional[bool] = None,
+    fresh_sdf: Optional[bool] = None,
 ) -> Tuple[jax.Array, Tuple[Dict[str, jax.Array], Tuple]]:
     """Summed loss with per-body term semantics (fitting_proxe.py:101-162).
 
@@ -68,11 +70,23 @@ def _per_body_losses(
     carried state for the cheap iterations — each contact vert's NN
     scene point (y_nn [N, C, 3]) and the frozen-cell SDF cache (corner
     rows + floor coords, ops.sdf.sdf_trilinear_packed_cached).
-    sel=(y_nn, cache) runs the CHEAP pass: contact against the frozen
-    correspondence (|x - y_nn|^2, the ICP-style majorizer of the NN
-    distance), collision against each vertex's cached cell patch — pure
-    dense math, no NN search, no gathers, no scatters.
+    sel=(y_nn, cache) with fresh_nn=fresh_sdf=False runs the CHEAP pass:
+    contact against the frozen correspondence (|x - y_nn|^2, the
+    ICP-style majorizer of the NN distance), collision against each
+    vertex's cached cell patch — pure dense math, no NN search, no
+    gathers, no scatters.
+    sel=(_, cache) with fresh_nn=True, fresh_sdf=False is the NN-ONLY
+    refresh: real NN search (contact correspondences drift fastest) but
+    collision against the carried cell cache — skips the gather-engine-
+    bound packed-grid fetch, the most expensive half of a full pass
+    (FitConfig.sdf_warmup_gathers).
+    fresh_nn/fresh_sdf default to "infer from sel" (None -> sel is None),
+    preserving the original two-mode call convention.
     """
+    if fresh_nn is None:
+        fresh_nn = sel is None
+    if fresh_sdf is None:
+        fresh_sdf = sel is None
     loss_rec = cfg.weight_loss_rec * jnp.mean(jnp.abs(xhr - xhr_init), axis=1)  # [N]
 
     xh = convert_to_3D_rot(xhr)  # [N, 72]
@@ -89,8 +103,8 @@ def _per_body_losses(
     verts = _decode(xh)
     contact_verts = verts[:, assets.contact_vids, :]
 
-    if sel is not None:
-        y_nn, sdf_cache = sel
+    if sel is not None and not fresh_nn:
+        y_nn = sel[0]
         # cheap pass: frozen correspondence, frozen cell patches
         d1 = jnp.sum((contact_verts - y_nn) ** 2, axis=-1)  # [N, C]
     else:
@@ -112,8 +126,10 @@ def _per_body_losses(
     loss_contact = cfg.weight_contact * jnp.mean(s / (s + cfg.contact_denom_offset), axis=1)
 
     dims = tuple(assets.sdf_packed.shape[1:4])
-    if sel is not None:
-        # cheap pass: every vertex against its frozen cell's linear patch
+    if sel is not None and not fresh_sdf:
+        # cheap / nn-only pass: every vertex against its frozen cell's
+        # linear patch; the cache carries forward unchanged
+        sdf_cache = sel[1]
         body_sdf = sdf_trilinear_from_cache(
             sdf_cache, scene_idx, verts, assets.grid_mins, assets.grid_maxs, dims
         )
@@ -157,8 +173,10 @@ def _fit_program(cfg: FitConfig):
     def fit(assets, x72_init, cam_ext, scene_idx):
         xhr_init = convert_to_6D_rot(x72_init)
 
-        def loss_fn(xhr, sel=None):
-            return _per_body_losses(assets, xhr, xhr_init, cam_ext, scene_idx, cfg, sel)
+        def loss_fn(xhr, sel=None, fresh_nn=True, fresh_sdf=True):
+            return _per_body_losses(
+                assets, xhr, xhr_init, cam_ext, scene_idx, cfg, sel, fresh_nn, fresh_sdf
+            )
 
         refresh = cfg.refresh_every > 1
 
@@ -168,10 +186,20 @@ def _fit_program(cfg: FitConfig):
             updates, opt_state = opt.update(grads, opt_state, xhr)
             return (optax.apply_updates(xhr, updates), opt_state, new_sel), metrics["total"]
 
+        def nn_only_iter(carry, _):
+            # fresh NN correspondences, frozen SDF cell cache — skips the
+            # gather-engine-bound packed-grid fetch (sdf_warmup_gathers)
+            xhr, opt_state, sel = carry
+            (_, (metrics, new_sel)), grads = jax.value_and_grad(
+                lambda x: loss_fn(x, sel, fresh_nn=True, fresh_sdf=False), has_aux=True
+            )(xhr)
+            updates, opt_state = opt.update(grads, opt_state, xhr)
+            return (optax.apply_updates(xhr, updates), opt_state, new_sel), metrics["total"]
+
         def cheap_iter(carry, _):
             xhr, opt_state, sel = carry
             (_, (metrics, _)), grads = jax.value_and_grad(
-                lambda x: loss_fn(x, sel), has_aux=True
+                lambda x: loss_fn(x, sel, fresh_nn=False, fresh_sdf=False), has_aux=True
             )(xhr)
             updates, opt_state = opt.update(grads, opt_state, xhr)
             return (optax.apply_updates(xhr, updates), opt_state, sel), metrics["total"]
@@ -210,8 +238,18 @@ def _fit_program(cfg: FitConfig):
             T = cfg.refresh_every
             hists = []
             if w:
-                carry, h = jax.lax.scan(full_iter, carry, None, length=w)
-                hists.append(h)
+                if cfg.sdf_warmup_gathers:
+                    carry, h = jax.lax.scan(full_iter, carry, None, length=w)
+                    hists.append(h)
+                else:
+                    # one anchoring gather at iter 0, then NN-only warmup
+                    # (collision rides the iter-0 cell cache's linear
+                    # extrapolation; contact re-searches every iter)
+                    carry, h0 = full_iter(carry, None)
+                    hists.append(h0[None])
+                    if w > 1:
+                        carry, h = jax.lax.scan(nn_only_iter, carry, None, length=w - 1)
+                        hists.append(h)
             n_blocks, rem = divmod(cfg.num_iter - w, T)
 
             def block(carry, _, n_cheap):

@@ -138,6 +138,20 @@ class FitConfig:
     # error — well under the SDF cell size and the contact-loss scale;
     # protocol-score impact measured in PARITY.md).
     lbs_precision: str = "high"
+    # Packed-SDF gather cadence WITHIN the full passes. The gather is
+    # the gather-engine-latency-bound half of a full pass (~8ns/index x
+    # N*V indices, scripts/profile_gather.py); the NN search is the
+    # other half. With refresh_every=10 / warmup=4 at num_iter=20, 4 of
+    # the 6 full passes are warmup — so the warmup gathers dominate.
+    # sdf_warmup_gathers=False keeps the real gather at iter 0 and at
+    # every post-warmup refresh, but warmup iters 1..w-1 re-use the
+    # iter-0 cell cache for the collision term (NN correspondences are
+    # still re-searched every warmup iter — those DO move fast early).
+    # The frozen patch is the cell's trilinear extrapolation: first-
+    # order-exact in the displacement, and |grad SDF| ~= 1 keeps it
+    # honest several cells out. Protocol-score impact measured in
+    # EVAL_SYNTH.md before this ships in any default.
+    sdf_warmup_gathers: bool = True
 
 
 def save_config(cfg, path: str) -> None:

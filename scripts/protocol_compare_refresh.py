@@ -102,6 +102,17 @@ def main():
         ("refresh10-fastlbs", C(refresh_every=10, lbs_precision="fast"), assets),
         ("r10-fast-bf16sdf ", C(refresh_every=10, lbs_precision="fast"), assets_bf16),
         ("r5-fast-bf16sdf  ", C(refresh_every=5, lbs_precision="fast"), assets_bf16),
+        # warmup-cadence sweep on the production stack: warmup full
+        # passes carry the same per-iter cost as refreshes (packed-grid
+        # gather + NN search), so shrinking the warmup from 4 to 2/3
+        # removes 1-2 of the ~6 expensive iters if the scores hold
+        ("r10w3-fast-bf16  ", C(refresh_every=10, refresh_warmup=3, lbs_precision="fast"), assets_bf16),
+        ("r10w2-fast-bf16  ", C(refresh_every=10, refresh_warmup=2, lbs_precision="fast"), assets_bf16),
+        # NN-only warmup: warmup iters keep the real NN search but ride
+        # the iter-0 SDF cell cache (skips the gather-engine-bound
+        # packed-grid fetch on warmup iters 1..w-1; FitConfig docs)
+        ("r10-nosdfwarm    ", C(refresh_every=10, lbs_precision="fast",
+                                sdf_warmup_gathers=False), assets_bf16),
     ]
     if "--quick" in sys.argv:
         variants = [v for v in variants if v[0].strip() in

@@ -43,10 +43,14 @@ def main():
     from psi_tpu.train import TrainOP
     from psi_tpu.utils.config import FitConfig, LossConfig, TrainConfig
 
-    assets, _ = make_synthetic_assets(
+    asset_kw = dict(
         num_verts=10475, num_joints=55, num_scenes=N_SCENES, sdf_dim=128,
         scene_points=20000, n_contact=1455, seed=0,
     )
+    assets, _ = make_synthetic_assets(**asset_kw)
+    # production fit stack uses bf16 corner-packed SDF grids; evaluation
+    # always runs the fixed f32 protocol (assets above)
+    assets_bf16, _ = make_synthetic_assets(**asset_kw, sdf_dtype=jnp.bfloat16)
     t0 = time.time()
 
     # ---- 1. train s2 from scratch (mirrors the s1 record in EVAL_SYNTH.md) ----
@@ -105,11 +109,15 @@ def main():
     print(f"[s2 pre-fit ] non-collision={nc0:.4f} contact={ct0:.4f} entropy={ent0:.3f}", flush=True)
 
     # ---- 3+4. fit (production refresh AND reference-exact) + eval ----
-    for name, fcfg in (
-        ("s2 exact   ", FitConfig(num_iter=NUM_ITER)),
-        ("s2 refresh ", FitConfig(num_iter=NUM_ITER, refresh_every=5)),
+    for name, fcfg, fit_assets in (
+        ("s2 exact   ", FitConfig(num_iter=NUM_ITER), assets),
+        ("s2 refresh ", FitConfig(num_iter=NUM_ITER, refresh_every=5), assets),
+        # the full production stack (refresh10 + fast-LBS + bf16 SDF),
+        # the config bench.py ships — round-3 swept it on s1 only
+        ("s2 prod    ", FitConfig(num_iter=NUM_ITER, refresh_every=10,
+                                  lbs_precision="fast"), assets_bf16),
     ):
-        fit = make_fit_step(assets, fcfg)
+        fit = make_fit_step(fit_assets, fcfg)
         out = fit(*inits[0])[0]
         out.block_until_ready()
         tf = time.time()

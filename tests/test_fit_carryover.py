@@ -35,17 +35,35 @@ def setup():
 
 def test_carryover_first_body_identical(setup):
     """Body 0 sees zero-initialized moments in BOTH modes, so its fitted
-    parameters must agree exactly (same math, same order)."""
+    parameters must agree (same math, same order).
+
+    The two modes run the same math in different batch layouts, so f32
+    rounding differs in the last bits; Adam's g/sqrt(v) normalization
+    amplifies near-zero-gradient rounding into +-lr tie-flips over many
+    steps (measured: 1 iter agrees to 3e-8; 10 iters drift to ~5e-2 max
+    on a handful of coordinates, environment-dependent). Assert the
+    clean invariant where it is numerically meaningful — one step,
+    before amplification — and bounded Adam drift at 10 steps, the same
+    bound the multichip equivalence checks use (__graft_entry__.py)."""
     assets, x72, cam_ext, scene_idx = setup
-    cfg = FitConfig(num_iter=10)
-    x_fresh, _, _ = make_fit_step(assets, cfg)(x72, cam_ext, scene_idx)
-    x_carry, _ = make_fit_step_carry_opt_state(assets, cfg)(x72, cam_ext, scene_idx)
-    # not bit-identical: the two modes compute the same math in different
-    # batch layouts, and f32 rounding differences are amplified through
-    # 10 Adam steps (g/sqrt(v) normalization); 1e-4 bounds that
+
+    cfg1 = FitConfig(num_iter=1)
+    x_fresh1, _, _ = make_fit_step(assets, cfg1)(x72, cam_ext, scene_idx)
+    x_carry1, _ = make_fit_step_carry_opt_state(assets, cfg1)(x72, cam_ext, scene_idx)
     np.testing.assert_allclose(
-        np.asarray(x_carry)[0], np.asarray(x_fresh)[0], atol=1e-4, rtol=1e-4
+        np.asarray(x_carry1)[0], np.asarray(x_fresh1)[0], atol=1e-6, rtol=1e-6
     )
+
+    cfg = FitConfig(num_iter=10)
+    x_fresh, m_fresh, _ = make_fit_step(assets, cfg)(x72, cam_ext, scene_idx)
+    x_carry, m_carry = make_fit_step_carry_opt_state(assets, cfg)(x72, cam_ext, scene_idx)
+    d = np.abs(np.asarray(x_carry)[0] - np.asarray(x_fresh)[0])
+    assert d.max() < 2.5 * cfg.init_lr_h, f"body-0 max drift {d.max()}"
+    assert d.mean() < 0.05 * cfg.init_lr_h, f"body-0 mean drift {d.mean()}"
+    # and the optimized objective itself agrees
+    t_fresh = float(np.asarray(m_fresh["total"])[0])
+    t_carry = float(np.asarray(m_carry["total"])[0])
+    assert abs(t_carry - t_fresh) / max(abs(t_fresh), 1e-9) < 0.02
 
 
 def test_carryover_delta_measured(setup):

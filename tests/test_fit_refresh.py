@@ -186,7 +186,10 @@ def test_block_scan_matches_periter_schedule(setup):
             xhr, opt_state, t = cheap_step(xhr, opt_state, sel)
         ref_hist.append(np.asarray(t))
 
-    np.testing.assert_allclose(hist, np.stack(ref_hist), rtol=2e-5, atol=1e-6)
+    # rtol 1e-3: schedule errors show up at the 1e-2+ level (full vs
+    # cheap losses differ visibly); below that is compile-variant f32
+    # rounding (scan body vs standalone jit), which drifts with env
+    np.testing.assert_allclose(hist, np.stack(ref_hist), rtol=1e-3, atol=1e-5)
     # final params: scan-compiled vs standalone-compiled steps fuse
     # differently; Adam turns near-zero-grad rounding into +-lr tie
     # flips on flat directions (see tests/test_multichip.py docstring),
@@ -194,3 +197,89 @@ def test_block_scan_matches_periter_schedule(setup):
     d = np.abs(xf - np.asarray(convert_to_3D_rot(xhr)))
     assert d.max() < 3 * cfg.init_lr_h, f"max param drift {d.max()}"
     assert d.mean() < 0.05 * cfg.init_lr_h, f"mean param drift {d.mean()}"
+
+
+def test_sdf_warmup_gathers_off_matches_explicit_schedule(setup):
+    """sdf_warmup_gathers=False: iter 0 is a full pass, warmup iters
+    1..w-1 are NN-only (fresh correspondences, carried SDF cell cache),
+    then the usual [full + T-1 cheap] blocks. Checked against an
+    explicit python loop over _per_body_losses with the same Adam
+    updates — same loss history, bounded-drift final parameters."""
+    import optax
+    from psi_tpu.fit.fitting import _per_body_losses
+    from psi_tpu.geometry.bodyvec import convert_to_6D_rot, convert_to_3D_rot
+
+    a, x72, cam_ext, scene_idx = setup
+    cfg = FitConfig(
+        num_iter=13, contact_denom_offset=1.0, refresh_every=5,
+        refresh_warmup=4, sdf_warmup_gathers=False,
+    )
+    xf, _, hist = _run(a, x72, cam_ext, scene_idx, cfg)
+
+    xhr0 = convert_to_6D_rot(x72)
+    opt = optax.adam(cfg.init_lr_h)
+
+    @jax.jit
+    def full_step(xhr, opt_state):
+        def loss(x):
+            return _per_body_losses(a, x, xhr0, cam_ext, scene_idx, cfg)
+        (_, (m, sel)), g = jax.value_and_grad(loss, has_aux=True)(xhr)
+        up, opt_state = opt.update(g, opt_state, xhr)
+        return optax.apply_updates(xhr, up), opt_state, sel, m["total"]
+
+    @jax.jit
+    def nn_only_step(xhr, opt_state, sel):
+        def loss(x):
+            return _per_body_losses(
+                a, x, xhr0, cam_ext, scene_idx, cfg, sel,
+                fresh_nn=True, fresh_sdf=False,
+            )
+        (_, (m, new_sel)), g = jax.value_and_grad(loss, has_aux=True)(xhr)
+        up, opt_state = opt.update(g, opt_state, xhr)
+        return optax.apply_updates(xhr, up), opt_state, new_sel, m["total"]
+
+    @jax.jit
+    def cheap_step(xhr, opt_state, sel):
+        def loss(x):
+            return _per_body_losses(a, x, xhr0, cam_ext, scene_idx, cfg, sel)
+        (_, (m, _)), g = jax.value_and_grad(loss, has_aux=True)(xhr)
+        up, opt_state = opt.update(g, opt_state, xhr)
+        return optax.apply_updates(xhr, up), opt_state, m["total"]
+
+    xhr, opt_state, sel = xhr0, opt.init(xhr0), None
+    ref_hist = []
+    w, T = cfg.refresh_warmup, cfg.refresh_every
+    for i in range(cfg.num_iter):
+        if i == 0 or (i >= w and (i - w) % T == 0):
+            xhr, opt_state, sel, t = full_step(xhr, opt_state)
+        elif i < w:
+            xhr, opt_state, sel, t = nn_only_step(xhr, opt_state, sel)
+        else:
+            xhr, opt_state, t = cheap_step(xhr, opt_state, sel)
+        ref_hist.append(np.asarray(t))
+
+    # rtol 1e-3: schedule errors show up at the 1e-2+ level (full vs
+    # cheap losses differ visibly); below that is compile-variant f32
+    # rounding (scan body vs standalone jit), which drifts with env
+    np.testing.assert_allclose(hist, np.stack(ref_hist), rtol=1e-3, atol=1e-5)
+    d = np.abs(xf - np.asarray(convert_to_3D_rot(xhr)))
+    assert d.max() < 3 * cfg.init_lr_h, f"max param drift {d.max()}"
+    assert d.mean() < 0.05 * cfg.init_lr_h, f"mean param drift {d.mean()}"
+
+
+def test_sdf_warmup_gathers_off_objective_close(setup):
+    """The gather-skipping warmup must land at an equally good objective
+    on average (same stability argument as the refresh tests above)."""
+    a, x72, cam_ext, scene_idx = setup
+    base = FitConfig(num_iter=20, contact_denom_offset=1.0, refresh_every=5)
+    nog = FitConfig(
+        num_iter=20, contact_denom_offset=1.0, refresh_every=5,
+        sdf_warmup_gathers=False,
+    )
+    _, m0, _ = _run(a, x72, cam_ext, scene_idx, base)
+    _, m1, _ = _run(a, x72, cam_ext, scene_idx, nog)
+    assert np.all(np.isfinite(m1["total"]))
+    np.testing.assert_allclose(m1["total"].mean(), m0["total"].mean(), rtol=0.10)
+    np.testing.assert_allclose(
+        m1["collision"].mean(), m0["collision"].mean(), rtol=0.15, atol=1e-3
+    )
