@@ -74,12 +74,14 @@ def measure_tpu() -> float:
     # production fit config: selection-refresh mode (full loss pass with
     # real SDF gathers + NN search every 10th Adam iter after a 4-iter
     # warmup; frozen-cell SDF patches + frozen NN correspondences in
-    # between), single-pass-bf16 LBS contractions, bf16 packed SDF
-    # grids. Protocol-scale accuracy vs the reference-exact every-iter
-    # path measured in scripts/protocol_compare_refresh.py, recorded in
+    # between; warmup iters 1..3 re-search NN but ride the iter-0 SDF
+    # cell cache — sdf_warmup_gathers=False, the FitConfig default),
+    # single-pass-bf16 LBS contractions, bf16 packed SDF grids.
+    # Protocol-scale accuracy vs the reference-exact every-iter path
+    # measured in scripts/protocol_compare_refresh.py, recorded in
     # EVAL_SYNTH.md / PARITY.md (non-collision identical, contact within
     # +-0.005, entropy within noise; only the L1-to-init regularizer
-    # drifts 0.036 -> 0.044).
+    # drifts 0.036 -> 0.047).
     fit_cfg = FitConfig(num_iter=NUM_ITER, refresh_every=10, lbs_precision="fast")
     # exact mode: every-iteration full pass, f32 grids, split-bf16 LBS.
     # prune_scene_points=2048 kept (protocol-validated identical to the
@@ -160,6 +162,7 @@ def measure_tpu() -> float:
         "fit_config": {
             "refresh_every": fit_cfg.refresh_every,
             "refresh_warmup": fit_cfg.refresh_warmup,
+            "sdf_warmup_gathers": fit_cfg.sdf_warmup_gathers,
             "prune_scene_points": fit_cfg.prune_scene_points,
             "lbs_precision": fit_cfg.lbs_precision,
             "sdf_dtype": "bfloat16",

@@ -149,9 +149,12 @@ class FitConfig:
     # still re-searched every warmup iter — those DO move fast early).
     # The frozen patch is the cell's trilinear extrapolation: first-
     # order-exact in the displacement, and |grad SDF| ~= 1 keeps it
-    # honest several cells out. Protocol-score impact measured in
-    # EVAL_SYNTH.md before this ships in any default.
-    sdf_warmup_gathers: bool = True
+    # honest several cells out. Protocol-validated at both shapes
+    # (EVAL_SYNTH.md round 3): PROX-E 655 -> 882 bodies/s, MP3D-R
+    # 400 -> 480, non-collision identical to 4 decimals, contact within
+    # the +-0.003 variant noise band — hence the False default (only
+    # consulted when refresh_every > 1; exact mode is untouched).
+    sdf_warmup_gathers: bool = False
 
 
 def save_config(cfg, path: str) -> None:

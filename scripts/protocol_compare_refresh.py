@@ -84,6 +84,11 @@ def main():
           flush=True)
 
     def C(**kw):
+        # legacy sweep rows predate the sdf_warmup_gathers=False default
+        # (adopted from THIS sweep's record) — pin True here so each
+        # row keeps measuring what its recorded EVAL_SYNTH.md entry
+        # measured; the production row opts in explicitly below
+        kw.setdefault("sdf_warmup_gathers", True)
         return FitConfig(num_iter=NUM_ITER, contact_denom_offset=DENOM, **kw)
 
     # (name, config, assets). prune_scene_points defaults to 2048, so
@@ -110,7 +115,9 @@ def main():
         ("r10w2-fast-bf16  ", C(refresh_every=10, refresh_warmup=2, lbs_precision="fast"), assets_bf16),
         # NN-only warmup: warmup iters keep the real NN search but ride
         # the iter-0 SDF cell cache (skips the gather-engine-bound
-        # packed-grid fetch on warmup iters 1..w-1; FitConfig docs)
+        # packed-grid fetch on warmup iters 1..w-1; FitConfig docs).
+        # THE PRODUCTION CONFIG since round 3 (bench.py): PROX-E
+        # 655 -> 882 bodies/s, MP3D-R 400 -> 480, scores held.
         ("r10-nosdfwarm    ", C(refresh_every=10, lbs_precision="fast",
                                 sdf_warmup_gathers=False), assets_bf16),
     ]

@@ -154,7 +154,12 @@ def test_block_scan_matches_periter_schedule(setup):
     from psi_tpu.geometry.bodyvec import convert_to_6D_rot, convert_to_3D_rot
 
     a, x72, cam_ext, scene_idx = setup
-    cfg = FitConfig(num_iter=13, contact_denom_offset=1.0, refresh_every=5, refresh_warmup=4)
+    # sdf_warmup_gathers pinned True: this test checks the full-pass
+    # warmup schedule; the gather-skipping warmup has its own twin below
+    cfg = FitConfig(
+        num_iter=13, contact_denom_offset=1.0, refresh_every=5,
+        refresh_warmup=4, sdf_warmup_gathers=True,
+    )
     xf, _, hist = _run(a, x72, cam_ext, scene_idx, cfg)
 
     xhr0 = convert_to_6D_rot(x72)
@@ -271,7 +276,10 @@ def test_sdf_warmup_gathers_off_objective_close(setup):
     """The gather-skipping warmup must land at an equally good objective
     on average (same stability argument as the refresh tests above)."""
     a, x72, cam_ext, scene_idx = setup
-    base = FitConfig(num_iter=20, contact_denom_offset=1.0, refresh_every=5)
+    base = FitConfig(
+        num_iter=20, contact_denom_offset=1.0, refresh_every=5,
+        sdf_warmup_gathers=True,
+    )
     nog = FitConfig(
         num_iter=20, contact_denom_offset=1.0, refresh_every=5,
         sdf_warmup_gathers=False,
