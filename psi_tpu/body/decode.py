@@ -26,6 +26,7 @@ def body_vec_to_verts(
     x72: jax.Array,
     cam_ext: Optional[jax.Array] = None,
     precision: str = "high",
+    joints_direct=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """x72: [B, 72] (axis-angle rot) -> (verts [B, V, 3], joints [B, J, 3]).
 
@@ -33,6 +34,8 @@ def body_vec_to_verts(
     vertices, matching GeometryTransformer.verts_transform usage.
     precision: forwarded to lbs() ('high' split-bf16 default; 'fast'
     single-pass bf16 for throughput-critical optimization loops).
+    joints_direct: forwarded to lbs() — required when ``smplx`` is a
+    vertex-subset model from ``smplx_vertex_subset``.
     """
     p = body_params_encapsulate(x72)
     pose_aa = vposer_decode(vposer_params, p["body_pose_vp"])
@@ -45,6 +48,7 @@ def body_vec_to_verts(
         left_hand_pose=p["left_hand_pose"],
         right_hand_pose=p["right_hand_pose"],
         precision=precision,
+        joints_direct=joints_direct,
     )
     if cam_ext is not None:
         verts = verts_transform(verts, cam_ext)

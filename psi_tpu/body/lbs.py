@@ -92,6 +92,21 @@ def batch_rigid_transform(
     return posed_joints, rel_transforms
 
 
+def joint_regressor_direct(
+    J_regressor: jax.Array, v_template: jax.Array, shapedirs: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Fold the joint regression through the shape blend.
+
+    joints(betas) = J_reg @ (v_template + shapedirs·betas) is linear in
+    betas, so it factors exactly into a [J, 3] rest-joint template plus
+    a [J, 3, L] joint blendshape basis — letting a VERTEX-SUBSET decode
+    (fitting's cheap iterations) compute joints without touching the
+    full vertex set. Returns (j_template, j_shapedirs)."""
+    j_template = jnp.einsum("jv,vk->jk", J_regressor, v_template, precision=_P)
+    j_shapedirs = jnp.einsum("jv,vkl->jkl", J_regressor, shapedirs, precision=_P)
+    return j_template, j_shapedirs
+
+
 def lbs(
     betas: jax.Array,
     pose_aa: jax.Array,
@@ -103,6 +118,7 @@ def lbs(
     lbs_weights: jax.Array,
     exact: bool = False,
     precision: str = "high",
+    joints_direct: Tuple[jax.Array, jax.Array] | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Full LBS forward.
 
@@ -124,13 +140,22 @@ def lbs(
                  measured fit-protocol impact recorded in PARITY.md).
                  The tiny tree-compose matmuls stay f32-HIGHEST in all
                  modes. `exact=True` overrides to full input precision.
+    joints_direct: optional (j_template [J,3], j_shapedirs [J,3,L]) from
+                 ``joint_regressor_direct`` — compute joints from betas
+                 directly (exact: the regression is linear in betas).
+                 Required when v_template/shapedirs/posedirs/lbs_weights
+                 are a VERTEX SUBSET of the model (J_regressor is then
+                 ignored and may be None).
     Returns (verts [B, V, 3], joints [B, J, 3]).
     """
     B = betas.shape[0]
     J = len(parents)
 
     v_shaped = v_template[None] + blend_shapes(betas, shapedirs)
-    if not exact and precision == "fast":
+    if joints_direct is not None:
+        j_template, j_shapedirs = joints_direct
+        joints = j_template[None] + blend_shapes(betas, j_shapedirs)
+    elif not exact and precision == "fast":
         # single-pass bf16 joint regression (f32 accumulate): ~mm-scale
         # joint error, measured fit impact in PARITY.md
         joints = jnp.einsum(

@@ -197,6 +197,41 @@ def synthetic_smplx(
     )
 
 
+def smplx_vertex_subset(
+    model: SMPLXModel, vert_ids: jax.Array
+) -> Tuple[SMPLXModel, Tuple[jax.Array, jax.Array]]:
+    """Slice the model to a vertex subset, with exact joints preserved.
+
+    Returns (sub_model, joints_direct) where sub_model's per-vertex
+    tensors (v_template, shapedirs, exprdirs, posedirs, lbs_weights)
+    keep only ``vert_ids`` rows, and joints_direct is the folded
+    (j_template, j_shapedirs) pair from ``joint_regressor_direct`` —
+    joint locations depend only on betas (linearly), so the subset
+    forward reproduces the full model's vertices at those rows exactly
+    (same math, same contraction shapes per row). Used by the fitting
+    cheap iterations (FitConfig.cheap_collision_verts): the skinning /
+    pose-corrective / camera chains scale with rows, so a ~3.5k-row
+    subset cuts the dominant fit-iter cost ~3x. faces are NOT remapped
+    (meaningless on a subset) — the sub model is for losses, not viz.
+    """
+    from psi_tpu.body.lbs import joint_regressor_direct
+
+    jd = joint_regressor_direct(model.J_regressor, model.v_template, model.shapedirs)
+    P = model.posedirs
+    if P is not None:
+        V = model.v_template.shape[0]
+        P = P.reshape(-1, V, 3)[:, vert_ids, :].reshape(P.shape[0], -1)
+    sub = model.replace(
+        v_template=model.v_template[vert_ids],
+        shapedirs=model.shapedirs[vert_ids],
+        exprdirs=model.exprdirs[vert_ids] if model.exprdirs is not None else None,
+        posedirs=P,
+        J_regressor=model.J_regressor[:, vert_ids],  # unused with joints_direct
+        lbs_weights=model.lbs_weights[vert_ids],
+    )
+    return sub, jd
+
+
 def smplx_forward(
     model: SMPLXModel,
     transl: jax.Array,  # [B, 3]
@@ -210,6 +245,7 @@ def smplx_forward(
     leye_pose: Optional[jax.Array] = None,
     reye_pose: Optional[jax.Array] = None,
     precision: str = "high",
+    joints_direct: Optional[Tuple[jax.Array, jax.Array]] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """SMPL-X forward: body params -> (vertices [B, V, 3], joints [B, J, 3]).
 
@@ -260,6 +296,7 @@ def smplx_forward(
         model.parents,
         model.lbs_weights,
         precision=precision,
+        joints_direct=joints_direct,
     )
     verts = verts + transl[:, None, :]
     joints = joints + transl[:, None, :]

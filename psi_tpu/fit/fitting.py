@@ -61,6 +61,7 @@ def _per_body_losses(
     sel=None,
     fresh_nn: Optional[bool] = None,
     fresh_sdf: Optional[bool] = None,
+    sub: Optional[Dict] = None,
 ) -> Tuple[jax.Array, Tuple[Dict[str, jax.Array], Tuple]]:
     """Summed loss with per-body term semantics (fitting_proxe.py:101-162).
 
@@ -82,6 +83,14 @@ def _per_body_losses(
     (FitConfig.sdf_warmup_gathers).
     fresh_nn/fresh_sdf default to "infer from sel" (None -> sel is None),
     preserving the original two-mode call convention.
+    sub (FitConfig.cheap_collision_verts): vertex-subset decode bundle
+    {smplx, joints_direct, n_contact, rows, coll_rows} — cached-SDF
+    passes decode only rows = contact_vids + a stride-uniform collision
+    subset (the pose-corrective, skinning and camera chains all scale
+    with rows); the collision term averages over the STRIDE rows only
+    (contact rows are decoded for the contact term but excluded from
+    the collision mean — see the branch comment). Full passes still
+    decode every vertex and slice their emitted cell cache to coll_rows.
     """
     if fresh_nn is None:
         fresh_nn = sel is None
@@ -92,16 +101,30 @@ def _per_body_losses(
     xh = convert_to_3D_rot(xhr)  # [N, 72]
     loss_vposer = cfg.weight_loss_vposer * jnp.mean(xh[:, 16:48] ** 2, axis=1)
 
-    def _decode(xh_):
-        return body_vec_to_verts(
-            assets.smplx, assets.vposer_params, xh_, cam_ext,
-            precision=cfg.lbs_precision,
-        )[0]
+    use_sub = sub is not None and sel is not None and not fresh_sdf
+    if use_sub:
+        # cached-SDF pass: decode ONLY the subset rows (contact verts
+        # first, then the collision stride) — the sliced model tensors
+        # are built once per fit call, outside the iteration scans
+        def _decode(xh_):
+            return body_vec_to_verts(
+                sub["smplx"], assets.vposer_params, xh_, cam_ext,
+                precision=cfg.lbs_precision, joints_direct=sub["joints_direct"],
+            )[0]
+    else:
+        def _decode(xh_):
+            return body_vec_to_verts(
+                assets.smplx, assets.vposer_params, xh_, cam_ext,
+                precision=cfg.lbs_precision,
+            )[0]
 
     if cfg.remat_decode:
         _decode = jax.checkpoint(_decode)
     verts = _decode(xh)
-    contact_verts = verts[:, assets.contact_vids, :]
+    contact_verts = (
+        verts[:, : sub["n_contact"], :] if use_sub
+        else verts[:, assets.contact_vids, :]
+    )
 
     if sel is not None and not fresh_nn:
         y_nn = sel[0]
@@ -128,16 +151,29 @@ def _per_body_losses(
     dims = tuple(assets.sdf_packed.shape[1:4])
     if sel is not None and not fresh_sdf:
         # cheap / nn-only pass: every vertex against its frozen cell's
-        # linear patch; the cache carries forward unchanged
+        # linear patch; the cache carries forward unchanged. With a
+        # vertex subset, collision averages over the STRIDE rows only —
+        # including the contact rows would triple their relative weight
+        # in the mean (1455/3503 vs 1455/10475) and the inflated
+        # surface-repulsion measurably degrades the contact score
+        # (measured at protocol scale: contact 0.2108 vs 0.1942).
         sdf_cache = sel[1]
+        coll_verts = verts[:, sub["n_contact"]:, :] if use_sub else verts
         body_sdf = sdf_trilinear_from_cache(
-            sdf_cache, scene_idx, verts, assets.grid_mins, assets.grid_maxs, dims
+            sdf_cache, scene_idx, coll_verts, assets.grid_mins, assets.grid_maxs, dims
         )
     elif cfg.refresh_every > 1:
         body_sdf, sdf_cache = sdf_trilinear_packed_cached(
             assets.sdf_packed, scene_idx, verts, assets.grid_mins, assets.grid_maxs
         )
         sdf_cache = jax.lax.stop_gradient(sdf_cache)
+        if sub is not None:
+            # carry only the rows the subset cheap iterations evaluate
+            # (the collision stride; contact rows are excluded above)
+            sdf_cache = (
+                sdf_cache[0][:, sub["coll_rows"]],
+                sdf_cache[1][:, sub["coll_rows"]],
+            )
     else:
         body_sdf = sdf_trilinear_packed(
             assets.sdf_packed, scene_idx, verts, assets.grid_mins, assets.grid_maxs
@@ -173,12 +209,75 @@ def _fit_program(cfg: FitConfig):
     def fit(assets, x72_init, cam_ext, scene_idx):
         xhr_init = convert_to_6D_rot(x72_init)
 
+        refresh = cfg.refresh_every > 1
+
+        # Vertex-subset cheap iterations (cfg.cheap_collision_verts):
+        # the subset is built AFTER the warmup segment — subh is a
+        # trace-time cell, so the warmup iters (traced while it is None)
+        # run at full-vertex semantics and the block iters (traced after
+        # _build_sub fills it) use the subset. See _build_sub for the
+        # selection recipe.
+        subh = {"sub": None}
+
+        def _build_sub(x72_now):
+            from psi_tpu.body.decode import body_vec_to_verts
+            from psi_tpu.body.smplx_model import smplx_vertex_subset
+
+            n_verts_full = assets.smplx.v_template.shape[0]
+            s = min(cfg.cheap_collision_verts, n_verts_full)
+            if s >= n_verts_full:
+                coll_ids = jnp.arange(n_verts_full, dtype=jnp.int32)
+            else:
+                # Half the row budget is a stride-uniform body cover;
+                # half goes to the mesh rows carrying the most
+                # penetration mass at the post-warmup state. The
+                # collision gradient flows ONLY from penetrating verts
+                # (neg = min(sdf, 0)), so a pure uniform subset misses
+                # penetration pockets between full passes — measured at
+                # protocol scale as a ~0.02 contact-indicator
+                # regression. Penetration REGIONS (in mesh-row space)
+                # are population-correlated, so scoring a 64-body
+                # sample at the post-warmup state (bodies have already
+                # taken their largest Adam steps) finds them at ~1/4
+                # the cost of a full pass; full passes keep re-scoring
+                # every vertex exactly.
+                s_stride = s // 2
+                stride_ids = jnp.asarray(
+                    np.unique(
+                        np.round(np.linspace(0, n_verts_full - 1, s_stride)).astype(np.int64)
+                    ),
+                    jnp.int32,
+                )
+                n_score = min(64, x72_now.shape[0])
+                verts0 = body_vec_to_verts(
+                    assets.smplx, assets.vposer_params,
+                    x72_now[:n_score], cam_ext[:n_score],
+                    precision=cfg.lbs_precision,
+                )[0]
+                sdf0 = sdf_trilinear_packed(
+                    assets.sdf_packed, scene_idx[:n_score], verts0,
+                    assets.grid_mins, assets.grid_maxs,
+                )
+                pen_mass = jnp.sum(jnp.minimum(sdf0, 0.0), axis=0)  # [V], <= 0
+                pen_ids = jax.lax.top_k(-pen_mass, s - s_stride)[1].astype(jnp.int32)
+                coll_ids = jnp.concatenate([stride_ids, pen_ids])
+            coll_ids = jax.lax.stop_gradient(coll_ids)
+            rows = jnp.concatenate([assets.contact_vids.astype(jnp.int32), coll_ids])
+            sub_model, jd = smplx_vertex_subset(assets.smplx, rows)
+            return {
+                "smplx": sub_model,
+                "joints_direct": jd,
+                "n_contact": int(assets.contact_vids.shape[0]),
+                "rows": rows,
+                "coll_rows": coll_ids,
+                "n_rows": int(coll_ids.shape[0]),
+            }
+
         def loss_fn(xhr, sel=None, fresh_nn=True, fresh_sdf=True):
             return _per_body_losses(
-                assets, xhr, xhr_init, cam_ext, scene_idx, cfg, sel, fresh_nn, fresh_sdf
+                assets, xhr, xhr_init, cam_ext, scene_idx, cfg, sel,
+                fresh_nn, fresh_sdf, subh["sub"],
             )
-
-        refresh = cfg.refresh_every > 1
 
         def full_iter(carry, _):
             xhr, opt_state, sel = carry
@@ -207,6 +306,8 @@ def _fit_program(cfg: FitConfig):
         n = xhr_init.shape[0]
         # carried shapes must match what the full pass emits: real-size
         # frozen state only when refresh is on, tiny dummies otherwise
+        # (the warmup segment always carries the FULL vertex cache; the
+        # subset transition slices it before the block scans)
         n_contact = assets.contact_vids.shape[0]
         n_verts = assets.smplx.v_template.shape[0]
         cc = n_contact if refresh else 1
@@ -250,6 +351,14 @@ def _fit_program(cfg: FitConfig):
                     if w > 1:
                         carry, h = jax.lax.scan(nn_only_iter, carry, None, length=w - 1)
                         hists.append(h)
+            if cfg.cheap_collision_verts > 0 and cfg.num_iter > w:
+                # subset transition: select rows at the post-warmup
+                # state, then slice the carried cell cache so the block
+                # iters (traced below, reading subh) see subset shapes
+                subh["sub"] = _build_sub(convert_to_3D_rot(carry[0]))
+                y_nn_c, (c0, c1) = carry[2]
+                cr = subh["sub"]["coll_rows"]
+                carry = (carry[0], carry[1], (y_nn_c, (c0[:, cr], c1[:, cr])))
             n_blocks, rem = divmod(cfg.num_iter - w, T)
 
             def block(carry, _, n_cheap):

@@ -155,6 +155,29 @@ class FitConfig:
     # the +-0.003 variant noise band — hence the False default (only
     # consulted when refresh_every > 1; exact mode is untouched).
     sdf_warmup_gathers: bool = False
+    # Vertex-subset cheap iterations. profile_lbs.py attributes the
+    # cheap-iter floor (~5.9 ms at N=256) almost entirely to the
+    # VPoser->LBS chain, whose three dominant stages (pose-corrective
+    # matmul, skinning blend, camera transform) all scale with the
+    # number of vertex ROWS decoded. Cached-SDF iterations only consume
+    # verts through (a) the contact term (the 1455 contact_vids) and
+    # (b) the collision term — and (b) tolerates a body-covering
+    # subset between the exact full passes, which still score every
+    # vertex. cheap_collision_verts = K > 0 decodes contact_vids plus a
+    # K-vertex subset on cached-SDF iterations — half stride-uniform,
+    # half the rows with the most post-warmup penetration mass (joints
+    # stay exact via the folded joint regressor,
+    # body/lbs.py::joint_regressor_direct); the collision term then
+    # averages over those rows. 0 = every vertex (reference semantics
+    # on every iteration). Full/refresh passes are unaffected either
+    # way. Protocol record (EVAL_SYNTH.md round 3, PROX-E shape,
+    # identical initial samples): K=2048 gives +17-23% fit throughput
+    # (883 -> ~1030-1090 bodies/s) with non-collision/entropy/contact-
+    # TERM identical, but the thresholded contact INDICATOR pays
+    # ~+0.013 (0.194 -> 0.206-0.217 across selection recipes) — hence
+    # OPT-IN, default 0: the production config keeps reference-grade
+    # scores and this knob is the documented next speed tier.
+    cheap_collision_verts: int = 0
 
 
 def save_config(cfg, path: str) -> None:

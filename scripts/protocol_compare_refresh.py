@@ -120,6 +120,26 @@ def main():
         # 655 -> 882 bodies/s, MP3D-R 400 -> 480, scores held.
         ("r10-nosdfwarm    ", C(refresh_every=10, lbs_precision="fast",
                                 sdf_warmup_gathers=False), assets_bf16),
+        # vertex-subset cheap iterations (FitConfig.cheap_collision_verts):
+        # cached-SDF iters decode contact_vids + a stride-uniform 2048-
+        # vertex subset; full passes still score every vertex. The
+        # dominant cheap-iter stages scale with decoded rows
+        # (scripts/profile_lbs.py).
+        ("r10-nosw-sub2048 ", C(refresh_every=10, lbs_precision="fast",
+                                sdf_warmup_gathers=False,
+                                cheap_collision_verts=2048), assets_bf16),
+        ("r10-nosw-sub1024 ", C(refresh_every=10, lbs_precision="fast",
+                                sdf_warmup_gathers=False,
+                                cheap_collision_verts=1024), assets_bf16),
+        ("r10-nosw-sub4096 ", C(refresh_every=10, lbs_precision="fast",
+                                sdf_warmup_gathers=False,
+                                cheap_collision_verts=4096), assets_bf16),
+        # diagnostic: identity stride (no subsampling) isolates the
+        # subset MACHINERY (joints_direct, contact-row exclusion) from
+        # the subsampling itself
+        ("r10-nosw-suball  ", C(refresh_every=10, lbs_precision="fast",
+                                sdf_warmup_gathers=False,
+                                cheap_collision_verts=10475), assets_bf16),
     ]
     if "--quick" in sys.argv:
         variants = [v for v in variants if v[0].strip() in

@@ -225,3 +225,33 @@ def test_lbs_fast_precision_close():
     scale = float(np.abs(np.asarray(v_hi)).max())
     assert float(np.abs(np.asarray(v_fast) - np.asarray(v_hi)).max()) < 0.02 * scale
     assert float(np.abs(np.asarray(j_fast) - np.asarray(j_hi)).max()) < 0.02 * scale
+
+
+def test_smplx_vertex_subset_matches_full_rows():
+    """smplx_vertex_subset: the subset forward reproduces the full
+    model's vertices at the selected rows (same per-row math), and the
+    folded joint regressor is exact (joints are linear in betas)."""
+    import jax.numpy as jnp
+
+    from psi_tpu.body.decode import body_vec_to_verts
+    from psi_tpu.body.smplx_model import smplx_vertex_subset, synthetic_smplx
+    from psi_tpu.body.vposer import synthetic_vposer_params
+
+    m = synthetic_smplx(num_verts=512, num_joints=22, seed=0)
+    vp = synthetic_vposer_params(seed=0)
+    rng = np.random.default_rng(0)
+    x72 = jnp.asarray(rng.normal(size=(3, 72)).astype(np.float32) * 0.3)
+    cam = jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (3, 1, 1)))
+
+    rows = jnp.asarray(np.unique(rng.integers(0, 512, 100)), jnp.int32)
+    sub, jd = smplx_vertex_subset(m, rows)
+
+    v_full, j_full = body_vec_to_verts(m, vp, x72, cam)
+    v_sub, j_sub = body_vec_to_verts(sub, vp, x72, cam, joints_direct=jd)
+    # joints: exact linear fold (f32 rounding only)
+    np.testing.assert_allclose(np.asarray(j_sub), np.asarray(j_full), rtol=1e-5, atol=1e-5)
+    # verts: same per-row contractions; split-bf16 summands associate
+    # identically row-wise, tolerance covers contraction-order variance
+    np.testing.assert_allclose(
+        np.asarray(v_sub), np.asarray(v_full)[:, np.asarray(rows)], rtol=1e-4, atol=1e-5
+    )

@@ -291,3 +291,45 @@ def test_sdf_warmup_gathers_off_objective_close(setup):
     np.testing.assert_allclose(
         m1["collision"].mean(), m0["collision"].mean(), rtol=0.15, atol=1e-3
     )
+
+
+def test_cheap_collision_verts_objective_close(setup):
+    """Vertex-subset cheap iterations (FitConfig.cheap_collision_verts):
+    contact rows are identical (contact_vids are always decoded), the
+    collision term averages over the stride subset between exact full
+    passes. Must run finite and land at an equally good objective on
+    average; final metrics come from a FULL pass in both configs, so
+    the comparison is apples-to-apples."""
+    a, x72, cam_ext, scene_idx = setup
+    base = FitConfig(num_iter=20, contact_denom_offset=1.0, refresh_every=5)
+    subcfg = FitConfig(
+        num_iter=20, contact_denom_offset=1.0, refresh_every=5,
+        cheap_collision_verts=48,
+    )
+    xf0, m0, _ = _run(a, x72, cam_ext, scene_idx, base)
+    xf1, m1, h1 = _run(a, x72, cam_ext, scene_idx, subcfg)
+    assert np.all(np.isfinite(xf1)) and np.all(np.isfinite(h1))
+    np.testing.assert_allclose(m1["total"].mean(), m0["total"].mean(), rtol=0.10)
+    np.testing.assert_allclose(
+        m1["collision"].mean(), m0["collision"].mean(), rtol=0.15, atol=1e-3
+    )
+
+
+def test_cheap_collision_verts_full_subset_is_exact(setup):
+    """cheap_collision_verts >= num_verts selects every vertex: the
+    stride subset is then the identity permutation modulo the contact
+    rows' duplication, so the collision VALUES at a refresh anchor match
+    the unrestricted config's (the mean double-counts contact rows —
+    compare the underlying per-vertex SDF path instead via the final
+    full-pass metrics, which never use the subset)."""
+    a, x72, cam_ext, scene_idx = setup
+    base = FitConfig(num_iter=8, contact_denom_offset=1.0, refresh_every=4)
+    allv = FitConfig(
+        num_iter=8, contact_denom_offset=1.0, refresh_every=4,
+        cheap_collision_verts=10**6,
+    )
+    xf0, m0, _ = _run(a, x72, cam_ext, scene_idx, base)
+    xf1, m1, _ = _run(a, x72, cam_ext, scene_idx, allv)
+    # trajectories differ only through the contact-row double-count in
+    # the cheap collision mean; objectives must stay close
+    np.testing.assert_allclose(m1["total"].mean(), m0["total"].mean(), rtol=0.10)
