@@ -87,10 +87,17 @@ def measure_tpu() -> float:
     # prune_scene_points=2048 kept (protocol-validated identical to the
     # full scene cloud, EVAL_SYNTH.md round 3; prune=0 measured there too)
     exact_cfg = FitConfig(num_iter=NUM_ITER)
-    fit = make_fit_step(assets_bf16, fit_cfg)
+    # want_metrics=False throughout: the pipeline consumes fitted bodies
+    # only, and jit computes every program output — keeping the metrics
+    # would bill one full exact loss pass (NN search + grid gather +
+    # full LBS forward) per program that nothing reads. This matches the
+    # serving engine's production trace (serve/engine.py).
+    fit = make_fit_step(assets_bf16, fit_cfg, want_metrics=False)
     # sample+refine as ONE compiled program (production serving path)
-    genfit = make_generate_fit_step(model, assets_bf16, fit_cfg, N_BODIES)
-    genfit_exact = make_generate_fit_step(model, assets, exact_cfg, N_BODIES)
+    genfit = make_generate_fit_step(model, assets_bf16, fit_cfg, N_BODIES,
+                                    want_metrics=False)
+    genfit_exact = make_generate_fit_step(model, assets, exact_cfg, N_BODIES,
+                                          want_metrics=False)
 
     def pipeline(key):
         x_fitted, _, _ = genfit(variables, xs, cam_int, max_d, cam_ext, scene_idx, key)

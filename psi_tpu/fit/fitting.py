@@ -198,12 +198,21 @@ def _per_body_losses(
     return jnp.sum(per_body), (metrics, (y_nn, sdf_cache))
 
 
-def _fit_program(cfg: FitConfig):
+def _fit_program(cfg: FitConfig, want_metrics: bool = True):
     """Unjitted fit(assets, x72_init, cam_ext, scene_idx) — shared by the
     standalone and the fused generate+fit programs. Callers MUST pass
     assets as a traced argument (closed-over arrays become compile-time
     constants and the packed SDF registry, hundreds of MB, would explode
-    compile time / exceed the remote-compile request limit)."""
+    compile time / exceed the remote-compile request limit).
+
+    want_metrics=False skips the final-state metrics evaluation — a FULL
+    exact loss pass (scene-cloud NN search + packed-grid gather + full
+    LBS forward) that exists only to report per-body final losses. The
+    bench pipeline and the serving hot path discard the metrics, but jit
+    outputs are always computed, so the pass costs them ~an extra full
+    iteration per program; they trace with False and get (x72, None,
+    hist). The fitted parameters are bitwise-identical either way (the
+    pass happens after the last Adam update)."""
     opt = optax.adam(cfg.init_lr_h)
 
     def fit(assets, x72_init, cam_ext, scene_idx):
@@ -377,19 +386,26 @@ def _fit_program(cfg: FitConfig):
             loss_hist = jnp.concatenate(hists, axis=0)
 
         xhr = carry[0]
+        if not want_metrics:
+            return convert_to_3D_rot(xhr), None, loss_hist
+        # final-state metrics: a full exact pass at full-vertex semantics
+        # (bypass any cheap-iter vertex subset so reported losses are the
+        # reference-defined quantities)
+        subh["sub"] = None
         _, (final_metrics, _) = loss_fn(xhr)
         return convert_to_3D_rot(xhr), final_metrics, loss_hist
 
     return fit
 
 
-def make_fit_step(assets: SceneAssets, cfg: FitConfig):
+def make_fit_step(assets: SceneAssets, cfg: FitConfig, want_metrics: bool = True):
     """Returns jitted fit(x72_init [N,72], cam_ext [N,4,4], scene_idx [N])
-    -> (x72_fitted [N,72], final per-body metrics).
+    -> (x72_fitted [N,72], final per-body metrics, per-iter loss hist).
 
     The asset pytree is a traced *argument* of the jit, not a closure
-    (see _fit_program)."""
-    fit = jax.jit(_fit_program(cfg))
+    (see _fit_program). want_metrics=False drops the final metrics pass
+    (returns None in its slot) — see _fit_program."""
+    fit = jax.jit(_fit_program(cfg, want_metrics=want_metrics))
 
     def bound(x72_init, cam_ext, scene_idx):
         return fit(assets, x72_init, cam_ext, scene_idx)
@@ -397,17 +413,19 @@ def make_fit_step(assets: SceneAssets, cfg: FitConfig):
     return bound
 
 
-def make_generate_fit_step(model, assets: SceneAssets, cfg: FitConfig, n_samples: int):
+def make_generate_fit_step(model, assets: SceneAssets, cfg: FitConfig, n_samples: int,
+                           want_metrics: bool = True):
     """Sample a population for ONE snapshot and refine it as ONE compiled
     program — no host round-trip between the generator and the fitter
     (each separate dispatch costs ~40 ms through a dev tunnel and
     serializes the two programs' scheduling).
 
     Returns run(variables, xs [1,H,W,2], cam_int [1,3,3], max_d [1],
-    cam_ext [N,4,4], scene_idx [N], key) -> (x72 [N,72], metrics, hist)."""
+    cam_ext [N,4,4], scene_idx [N], key) -> (x72 [N,72], metrics, hist).
+    want_metrics=False skips the final metrics pass (see _fit_program)."""
     from psi_tpu.gen.sample import _generate
 
-    fit = _fit_program(cfg)
+    fit = _fit_program(cfg, want_metrics=want_metrics)
 
     @jax.jit
     def run(assets_, variables, xs, cam_int, max_d, cam_ext, scene_idx, key):
@@ -420,12 +438,13 @@ def make_generate_fit_step(model, assets: SceneAssets, cfg: FitConfig, n_samples
     return bound
 
 
-def make_generate_fit_rows(model, assets: SceneAssets, cfg: FitConfig):
+def make_generate_fit_rows(model, assets: SceneAssets, cfg: FitConfig,
+                           want_metrics: bool = True):
     """Coalesced-serving twin of make_generate_fit_step: sample per-row
     (row r conditioned on snapshot req_idx[r]) and refine, one program."""
     from psi_tpu.gen.sample import _generate_rows
 
-    fit = _fit_program(cfg)
+    fit = _fit_program(cfg, want_metrics=want_metrics)
 
     @jax.jit
     def run(assets_, variables, xs_stack, cam_int_stack, max_d_stack, req_idx,

@@ -75,9 +75,14 @@ class GenerationEngine:
         self.fit_cfg = fit_cfg or FitConfig()
         self.max_requests = max_requests  # compiled request-slot count
         # generate+fit as ONE compiled program each (no inter-program
-        # host round-trip on the hot serving path)
-        self._genfit = make_generate_fit_step(model, assets, self.fit_cfg, population)
-        self._genfit_rows = make_generate_fit_rows(model, assets, self.fit_cfg)
+        # host round-trip on the hot serving path). want_metrics=False:
+        # ServeResult carries bodies only, so the final-state metrics
+        # pass — a full exact loss evaluation — would be computed and
+        # thrown away on every request.
+        self._genfit = make_generate_fit_step(
+            model, assets, self.fit_cfg, population, want_metrics=False)
+        self._genfit_rows = make_generate_fit_rows(
+            model, assets, self.fit_cfg, want_metrics=False)
         self._key = jax.random.PRNGKey(seed)
         self._lock = threading.Lock()  # device programs are not re-entrant
 

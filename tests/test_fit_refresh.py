@@ -333,3 +333,20 @@ def test_cheap_collision_verts_full_subset_is_exact(setup):
     # trajectories differ only through the contact-row double-count in
     # the cheap collision mean; objectives must stay close
     np.testing.assert_allclose(m1["total"].mean(), m0["total"].mean(), rtol=0.10)
+
+
+def test_want_metrics_false_identical_params(setup):
+    """want_metrics=False must drop ONLY the final metrics pass: fitted
+    parameters bitwise-equal to the default, metrics slot None, loss
+    history unchanged — in both refresh and exact modes (serving and the
+    bench trace with False; FittingOP with True)."""
+    a, x72, cam_ext, scene_idx = setup
+    for cfg in (
+        FitConfig(num_iter=6, contact_denom_offset=1.0, refresh_every=3),
+        FitConfig(num_iter=4, contact_denom_offset=1.0),
+    ):
+        xf0, m0, h0 = make_fit_step(a, cfg)(x72, cam_ext, scene_idx)
+        xf1, m1, h1 = make_fit_step(a, cfg, want_metrics=False)(x72, cam_ext, scene_idx)
+        assert m1 is None and m0 is not None
+        np.testing.assert_array_equal(np.asarray(xf0), np.asarray(xf1))
+        np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
