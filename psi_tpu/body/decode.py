@@ -27,18 +27,45 @@ def body_vec_to_verts(
     cam_ext: Optional[jax.Array] = None,
     precision: str = "high",
     joints_direct=None,
+    fused_bundle=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """x72: [B, 72] (axis-angle rot) -> (verts [B, V, 3], joints [B, J, 3]).
 
     cam_ext (optional [B, 4, 4]) applies the camera extrinsics to the
     vertices, matching GeometryTransformer.verts_transform usage.
     precision: forwarded to lbs() ('high' split-bf16 default; 'fast'
-    single-pass bf16 for throughput-critical optimization loops).
+    single-pass bf16 for throughput-critical optimization loops;
+    'fused' runs the whole vertex path — blendshapes, skinning,
+    transl, camera — as ONE Pallas kernel at the 'fast' precision
+    tier, see ops/fused_skinning.py).
     joints_direct: forwarded to lbs() — required when ``smplx`` is a
-    vertex-subset model from ``smplx_vertex_subset``.
+    vertex-subset model from ``smplx_vertex_subset``. Subset models
+    fall back from 'fused' to 'fast' (the subset decode is already
+    small; no bundle is built for it).
+    fused_bundle: precomputed ``make_fused_bundle(smplx)`` for the
+    'fused' path. Pass it when calling inside an optimization loop —
+    building it per loss evaluation re-pads ~60 MB of model tensors.
     """
     p = body_params_encapsulate(x72)
     pose_aa = vposer_decode(vposer_params, p["body_pose_vp"])
+    if precision == "fused":
+        if joints_direct is not None:
+            precision = "fast"  # vertex-subset decode: einsum path
+        else:
+            from psi_tpu.body.smplx_model import smplx_forward_fused
+
+            verts, joints = smplx_forward_fused(
+                smplx,
+                transl=p["transl"],
+                global_orient=p["global_orient"],
+                betas=p["betas"],
+                body_pose=pose_aa,
+                left_hand_pose=p["left_hand_pose"],
+                right_hand_pose=p["right_hand_pose"],
+                cam_ext=cam_ext,
+                bundle=fused_bundle,
+            )
+            return verts, joints
     verts, joints = smplx_forward(
         smplx,
         transl=p["transl"],

@@ -232,28 +232,19 @@ def smplx_vertex_subset(
     return sub, jd
 
 
-def smplx_forward(
+def _assemble_pose_shape(
     model: SMPLXModel,
-    transl: jax.Array,  # [B, 3]
-    global_orient: jax.Array,  # [B, 3] axis-angle
-    betas: jax.Array,  # [B, n_betas]
-    body_pose: jax.Array,  # [B, 63] axis-angle (21 joints)
-    left_hand_pose: Optional[jax.Array] = None,  # [B, n_pca]
-    right_hand_pose: Optional[jax.Array] = None,  # [B, n_pca]
-    expression: Optional[jax.Array] = None,  # [B, n_expr]
-    jaw_pose: Optional[jax.Array] = None,  # [B, 3]
-    leye_pose: Optional[jax.Array] = None,
-    reye_pose: Optional[jax.Array] = None,
-    precision: str = "high",
-    joints_direct: Optional[Tuple[jax.Array, jax.Array]] = None,
-) -> Tuple[jax.Array, jax.Array]:
-    """SMPL-X forward: body params -> (vertices [B, V, 3], joints [B, J, 3]).
-
-    Matches smplx.SMPLX.forward as configured by the reference
-    (train_s1.py:66-81): hand poses are PCA coefficients projected
-    through hands_components; unspecified face/eye poses are zero; the
-    (non-flat) hands mean is added via pose_mean; transl is added last.
-    """
+    global_orient: jax.Array,
+    body_pose: jax.Array,
+    betas: jax.Array,
+    left_hand_pose: Optional[jax.Array],
+    right_hand_pose: Optional[jax.Array],
+    expression: Optional[jax.Array],
+    jaw_pose: Optional[jax.Array],
+    leye_pose: Optional[jax.Array],
+    reye_pose: Optional[jax.Array],
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Shared smplx preamble: (full_pose [B, J*3], shape_coeffs, shapedirs)."""
     B = betas.shape[0]
     J = model.num_joints
     dt = model.v_template.dtype
@@ -285,7 +276,35 @@ def smplx_forward(
     if expression is not None and model.exprdirs is not None:
         shapedirs = jnp.concatenate([model.shapedirs, model.exprdirs], axis=-1)
         shape_coeffs = jnp.concatenate([betas, expression], axis=-1)
+    return full_pose, shape_coeffs, shapedirs
 
+
+def smplx_forward(
+    model: SMPLXModel,
+    transl: jax.Array,  # [B, 3]
+    global_orient: jax.Array,  # [B, 3] axis-angle
+    betas: jax.Array,  # [B, n_betas]
+    body_pose: jax.Array,  # [B, 63] axis-angle (21 joints)
+    left_hand_pose: Optional[jax.Array] = None,  # [B, n_pca]
+    right_hand_pose: Optional[jax.Array] = None,  # [B, n_pca]
+    expression: Optional[jax.Array] = None,  # [B, n_expr]
+    jaw_pose: Optional[jax.Array] = None,  # [B, 3]
+    leye_pose: Optional[jax.Array] = None,
+    reye_pose: Optional[jax.Array] = None,
+    precision: str = "high",
+    joints_direct: Optional[Tuple[jax.Array, jax.Array]] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """SMPL-X forward: body params -> (vertices [B, V, 3], joints [B, J, 3]).
+
+    Matches smplx.SMPLX.forward as configured by the reference
+    (train_s1.py:66-81): hand poses are PCA coefficients projected
+    through hands_components; unspecified face/eye poses are zero; the
+    (non-flat) hands mean is added via pose_mean; transl is added last.
+    """
+    full_pose, shape_coeffs, shapedirs = _assemble_pose_shape(
+        model, global_orient, body_pose, betas,
+        left_hand_pose, right_hand_pose, expression, jaw_pose, leye_pose, reye_pose,
+    )
     verts, joints = lbs(
         shape_coeffs,
         full_pose,
@@ -300,4 +319,92 @@ def smplx_forward(
     )
     verts = verts + transl[:, None, :]
     joints = joints + transl[:, None, :]
+    return verts, joints
+
+
+def make_fused_bundle(model: SMPLXModel):
+    """Constant operand bundle for ``smplx_forward_fused``.
+
+    Build this ONCE outside any optimization loop (e.g. before the
+    fitting scan) and pass it in — rebuilding it per loss evaluation
+    would re-pad/transpose ~60 MB of model tensors every iteration.
+    Pure traced device math: safe inside jit, nothing baked as an
+    executable constant."""
+    from psi_tpu.ops.fused_skinning import make_skinning_bundle
+
+    return make_skinning_bundle(
+        model.v_template, model.shapedirs, model.posedirs, model.lbs_weights
+    )
+
+
+def smplx_forward_fused(
+    model: SMPLXModel,
+    transl: jax.Array,  # [B, 3]
+    global_orient: jax.Array,  # [B, 3]
+    betas: jax.Array,  # [B, n_betas]
+    body_pose: jax.Array,  # [B, 63]
+    left_hand_pose: Optional[jax.Array] = None,
+    right_hand_pose: Optional[jax.Array] = None,
+    jaw_pose: Optional[jax.Array] = None,
+    leye_pose: Optional[jax.Array] = None,
+    reye_pose: Optional[jax.Array] = None,
+    cam_ext: Optional[jax.Array] = None,  # [B, 4, 4], folded into the kernel
+    bundle=None,
+) -> Tuple[jax.Array, jax.Array]:
+    """smplx_forward with the vertex path in ONE Pallas kernel.
+
+    Same semantics as ``smplx_forward`` followed by
+    ``verts_transform(verts, cam_ext)``, at the single-pass-bf16
+    precision tier of ``lbs(precision='fast')`` (~2^-8-relative vertex
+    error; see ops/fused_skinning.py). The small-tensor stages (pose
+    assembly, Rodrigues, kinematic tree, joints) stay in plain JAX at
+    f32; joints use the exact folded joint regressor
+    (lbs.joint_regressor_direct), so they match the einsum path.
+    Expression blendshapes are not supported on this tier (the bundle
+    folds model.shapedirs only).
+    """
+    from psi_tpu.body.lbs import (
+        batch_rigid_transform,
+        blend_shapes,
+        joint_regressor_direct,
+    )
+    from psi_tpu.geometry.rot6d import aa_to_matrix
+    from psi_tpu.ops.fused_skinning import fused_skinning_apply
+
+    full_pose, shape_coeffs, shapedirs = _assemble_pose_shape(
+        model, global_orient, body_pose, betas,
+        left_hand_pose, right_hand_pose, None, jaw_pose, leye_pose, reye_pose,
+    )
+    B = betas.shape[0]
+    J = model.num_joints
+
+    rot_mats = aa_to_matrix(full_pose.reshape(B, J, 3))
+    j_template, j_shapedirs = joint_regressor_direct(
+        model.J_regressor, model.v_template, shapedirs
+    )
+    joints_rest = j_template[None] + blend_shapes(shape_coeffs, j_shapedirs)
+    posed_joints, A = batch_rigid_transform(rot_mats, joints_rest, model.parents)
+
+    ident = jnp.eye(3, dtype=shape_coeffs.dtype)
+    pose_feature = (rot_mats[:, 1:] - ident).reshape(B, -1)
+    cb = jnp.concatenate(
+        [jnp.ones((B, 1), shape_coeffs.dtype), shape_coeffs, pose_feature], axis=1
+    )
+    A12 = A[:, :, :3, :].reshape(B, J, 12)
+
+    if cam_ext is None:
+        camR = jnp.broadcast_to(jnp.eye(3, dtype=transl.dtype), (B, 3, 3))
+        camT = jnp.zeros((B, 3), transl.dtype)
+    else:
+        camR, camT = cam_ext[:, :3, :3], cam_ext[:, :3, 3]
+    t_eff = jnp.einsum("bxy,by->bx", camR, transl) + camT
+    cam12 = jnp.concatenate([camR, t_eff[:, :, None]], axis=-1).reshape(B, 12)
+
+    if bundle is None:
+        bundle = make_fused_bundle(model)
+    verts = fused_skinning_apply(cb, A12, cam12, bundle)
+
+    joints = posed_joints + transl[:, None, :]
+    if cam_ext is not None:
+        joints = jnp.einsum("bjy,bxy->bjx", joints, camR) + camT[:, None, :]
     return verts, joints

@@ -62,6 +62,7 @@ def _per_body_losses(
     fresh_nn: Optional[bool] = None,
     fresh_sdf: Optional[bool] = None,
     sub: Optional[Dict] = None,
+    fused_bundle=None,
 ) -> Tuple[jax.Array, Tuple[Dict[str, jax.Array], Tuple]]:
     """Summed loss with per-body term semantics (fitting_proxe.py:101-162).
 
@@ -115,7 +116,7 @@ def _per_body_losses(
         def _decode(xh_):
             return body_vec_to_verts(
                 assets.smplx, assets.vposer_params, xh_, cam_ext,
-                precision=cfg.lbs_precision,
+                precision=cfg.lbs_precision, fused_bundle=fused_bundle,
             )[0]
 
     if cfg.remat_decode:
@@ -282,10 +283,20 @@ def _fit_program(cfg: FitConfig, want_metrics: bool = True):
                 "n_rows": int(coll_ids.shape[0]),
             }
 
+        # fused-Pallas decode: the constant operand bundle is built ONCE
+        # per fit call, outside the iteration scans (re-padding ~60 MB of
+        # model tensors per loss evaluation would dominate a cheap iter)
+        if cfg.lbs_precision == "fused":
+            from psi_tpu.body.smplx_model import make_fused_bundle
+
+            fused_bundle = make_fused_bundle(assets.smplx)
+        else:
+            fused_bundle = None
+
         def loss_fn(xhr, sel=None, fresh_nn=True, fresh_sdf=True):
             return _per_body_losses(
                 assets, xhr, xhr_init, cam_ext, scene_idx, cfg, sel,
-                fresh_nn, fresh_sdf, subh["sub"],
+                fresh_nn, fresh_sdf, subh["sub"], fused_bundle,
             )
 
         def full_iter(carry, _):

@@ -136,7 +136,11 @@ class FitConfig:
     # single-pass bf16 MXU with f32 accumulation for the three
     # FLOP-heavy LBS contractions (~2^-8-relative ≈ mm-scale vertex
     # error — well under the SDF cell size and the contact-loss scale;
-    # protocol-score impact measured in PARITY.md).
+    # protocol-score impact measured in PARITY.md); 'fused' = the whole
+    # LBS vertex path (blendshapes + skinning + transl + camera) as ONE
+    # Pallas kernel at the 'fast' precision tier — removes the [N,V,*]
+    # HBM intermediates that floor the cheap iterations
+    # (ops/fused_skinning.py; accuracy/throughput record in PARITY.md).
     lbs_precision: str = "high"
     # Packed-SDF gather cadence WITHIN the full passes. The gather is
     # the gather-engine-latency-bound half of a full pass (~8ns/index x
