@@ -385,11 +385,15 @@ def smplx_forward_fused(
     joints_rest = j_template[None] + blend_shapes(shape_coeffs, j_shapedirs)
     posed_joints, A = batch_rigid_transform(rot_mats, joints_rest, model.parents)
 
-    ident = jnp.eye(3, dtype=shape_coeffs.dtype)
-    pose_feature = (rot_mats[:, 1:] - ident).reshape(B, -1)
-    cb = jnp.concatenate(
-        [jnp.ones((B, 1), shape_coeffs.dtype), shape_coeffs, pose_feature], axis=1
-    )
+    # the coefficient row matches the bundle's basis layout exactly:
+    # [1 | shape_coeffs | pose_feature], with the pose block present
+    # only when the model carries pose-corrective blendshapes (the
+    # bundle folds posedirs only when model.posedirs is not None)
+    cb_parts = [jnp.ones((B, 1), shape_coeffs.dtype), shape_coeffs]
+    if model.posedirs is not None:
+        ident = jnp.eye(3, dtype=shape_coeffs.dtype)
+        cb_parts.append((rot_mats[:, 1:] - ident).reshape(B, -1))
+    cb = jnp.concatenate(cb_parts, axis=1)
     A12 = A[:, :, :3, :].reshape(B, J, 12)
 
     if cam_ext is None:
@@ -402,6 +406,21 @@ def smplx_forward_fused(
 
     if bundle is None:
         bundle = make_fused_bundle(model)
+    # a stale bundle with compatible PADDED shapes (built from another
+    # model, or from this model with a different posedirs setting) would
+    # produce silently wrong vertices — fail loudly instead
+    if bundle.n_verts != model.num_verts:
+        raise ValueError(
+            f"fused bundle was built for a {bundle.n_verts}-vertex model, "
+            f"got model.num_verts={model.num_verts}"
+        )
+    if bundle.n_feat != cb.shape[1]:
+        raise ValueError(
+            f"fused bundle basis has n_feat={bundle.n_feat} coefficient rows "
+            f"but the assembled coefficient vector has {cb.shape[1]} "
+            "(posedirs presence or n_betas mismatch between the bundle's "
+            "model and this one)"
+        )
     verts = fused_skinning_apply(cb, A12, cam12, bundle)
 
     joints = posed_joints + transl[:, None, :]

@@ -262,7 +262,7 @@ def _fit_program(cfg: FitConfig, want_metrics: bool = True):
                 verts0 = body_vec_to_verts(
                     assets.smplx, assets.vposer_params,
                     x72_now[:n_score], cam_ext[:n_score],
-                    precision=cfg.lbs_precision,
+                    precision=cfg.lbs_precision, fused_bundle=fused_bundle,
                 )[0]
                 sdf0 = sdf_trilinear_packed(
                     assets.sdf_packed, scene_idx[:n_score], verts0,

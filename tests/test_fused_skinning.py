@@ -92,6 +92,32 @@ def test_bundle_reuse_identical(model, params):
     np.testing.assert_array_equal(np.asarray(v_a), np.asarray(v_b))
 
 
+def test_forward_no_posedirs(params):
+    """A model loaded with use_posedirs=False gets a C=1+L basis; the
+    coefficient vector must match it (no pose block) instead of crashing
+    or silently mis-padding (ADVICE round 3, medium)."""
+    model_np = synthetic_smplx(num_verts=V, num_joints=J, seed=0, use_posedirs=False)
+    assert model_np.posedirs is None
+    v_ref, _ = smplx_forward(model_np, precision="fast", **params)
+    v_f, _ = smplx_forward_fused(model_np, cam_ext=None, **params)
+    err = np.abs(np.asarray(v_f) - np.asarray(v_ref))
+    assert err.max() < 2.5e-2, f"max vertex err {err.max()}"
+
+
+def test_stale_bundle_rejected(model, params):
+    """A bundle built from a mismatched model must fail loudly, not
+    produce silently wrong vertices (ADVICE round 3)."""
+    other = synthetic_smplx(num_verts=V + 8, num_joints=J, seed=1)
+    bad_verts = make_fused_bundle(other)
+    with pytest.raises(ValueError, match="vertex"):
+        smplx_forward_fused(model, cam_ext=None, bundle=bad_verts, **params)
+
+    no_pose = synthetic_smplx(num_verts=V, num_joints=J, seed=0, use_posedirs=False)
+    bad_feat = make_fused_bundle(no_pose)
+    with pytest.raises(ValueError, match="n_feat"):
+        smplx_forward_fused(model, cam_ext=None, bundle=bad_feat, **params)
+
+
 def test_gradients_match_fast_lbs(model, params):
     rng = np.random.default_rng(3)
     cam = _cam(rng, B)
