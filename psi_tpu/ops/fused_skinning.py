@@ -156,14 +156,20 @@ def _bwd_kernel(
     out = [T[x][3] + T[x][0] * vp[0] + T[x][1] * vp[1] + T[x][2] * vp[2] for x in range(3)]
 
     g = [g_ref[x] for x in range(3)]
-    # epilogue grads: fin_x = cam[:,4x+3] + sum_y cam[:,4x+y] * out_y
+    # epilogue grads: fin_x = cam[:,4x+3] + sum_y cam[:,4x+y] * out_y.
+    # Column placement via an iota mask instead of .at[col].add — the
+    # value-level scatter-add primitive has no Pallas TPU lowering
+    # (NotImplementedError: scatter-add, measured on hardware round 4);
+    # a lane-iota compare + where is pure dense VPU math.
+    lane = jax.lax.broadcasted_iota(jnp.int32, gcam_ref.shape, 1)
     gcam = gcam_ref[...]
     for x in range(3):
         for y in range(3):
-            gcam = gcam.at[:, 4 * x + y : 4 * x + y + 1].add(
-                jnp.sum(g[x] * out[y], axis=1, keepdims=True)
-            )
-        gcam = gcam.at[:, 4 * x + 3 : 4 * x + 4].add(jnp.sum(g[x], axis=1, keepdims=True))
+            col = jnp.sum(g[x] * out[y], axis=1, keepdims=True)
+            gcam = gcam + jnp.where(lane == 4 * x + y, col, 0.0)
+        gcam = gcam + jnp.where(
+            lane == 4 * x + 3, jnp.sum(g[x], axis=1, keepdims=True), 0.0
+        )
     gcam_ref[...] = gcam
     gout = [
         sum(cam_ref[:, 4 * x + y : 4 * x + y + 1] * g[x] for x in range(3)) for y in range(3)
@@ -178,21 +184,21 @@ def _bwd_kernel(
         )
     gcb_ref[...] = gcb
 
-    # g_A[:, :, 4x+y] += (gout_x * vp_y) @ w_vj ; g_A[:, :, 4x+3] += gout_x @ w_vj
+    # g_A[:, :, 4x+y] += (gout_x * vp_y) @ w_vj ; g_A[:, :, 4x+3] += gout_x @ w_vj.
+    # Per-plane ref read-modify-write with a STATIC leading index (the
+    # same addressing the forward's a_ref[4x+y] loads use) — the
+    # value-level .at[plane].add form lowers to scatter-add, which
+    # Pallas TPU does not implement.
     wvj = wvj_ref[...]
-    ga = ga_ref[...]
     for x in range(3):
         for y in range(3):
-            ga = ga.at[4 * x + y].add(
-                jnp.dot(
-                    (gout[x] * vp[y]).astype(jnp.bfloat16), wvj,
-                    preferred_element_type=jnp.float32,
-                )
+            ga_ref[4 * x + y] = ga_ref[4 * x + y] + jnp.dot(
+                (gout[x] * vp[y]).astype(jnp.bfloat16), wvj,
+                preferred_element_type=jnp.float32,
             )
-        ga = ga.at[4 * x + 3].add(
-            jnp.dot(gout[x].astype(jnp.bfloat16), wvj, preferred_element_type=jnp.float32)
+        ga_ref[4 * x + 3] = ga_ref[4 * x + 3] + jnp.dot(
+            gout[x].astype(jnp.bfloat16), wvj, preferred_element_type=jnp.float32
         )
-    ga_ref[...] = ga
 
 
 def _pad_operands(cb, A12, cam12, Cp):

@@ -10,6 +10,13 @@ is conditioned on its own request's snapshot via a device-side gather
 execution instead of N. Exposed as an in-process API plus a JSONL
 stdin/stdout loop (psi_tpu.cli.serve) so it composes with any
 process-level server.
+
+Multi-chip: pass ``mesh=`` (a 1-axis jax.sharding.Mesh) and the fitted
+population rows shard over it — each chip refines population/n_devices
+bodies, params/assets replicated, with no change to the request API or
+results (CPU-mesh equality asserted in tests/test_serve_mesh.py). The
+generate-only path keeps replicated compute (its cost is the
+per-snapshot scene trunk, not the population rows).
 """
 
 from __future__ import annotations
@@ -67,13 +74,38 @@ class GenerationEngine:
         fit_cfg: Optional[FitConfig] = None,
         seed: int = 0,
         max_requests: int = 16,
+        mesh=None,
     ):
         self.model = model
-        self.variables = variables
-        self.assets = assets
         self.population = population
         self.fit_cfg = fit_cfg or FitConfig()
         self.max_requests = max_requests  # compiled request-slot count
+        # Multi-chip serving: population rows shard over the mesh's 'dp'
+        # axis — the same GSPMD layout the fitting path already runs
+        # (parallel/mesh.py; __graft_entry__.dryrun_multichip proves the
+        # sharded programs). Model params, scene assets and the snapshot
+        # inputs replicate; only the per-body rows (cam_ext, scene_idx,
+        # req_idx) split, so the 20-iter Adam refinement — the dominant
+        # serving cost — runs population/n_devices bodies per chip.
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+
+            from psi_tpu.parallel.mesh import replicate
+
+            if population % mesh.size != 0:
+                raise ValueError(
+                    f"population={population} must divide evenly over the "
+                    f"{mesh.size}-device mesh"
+                )
+            axis = mesh.axis_names[0]
+            self._row_sharding = NamedSharding(mesh, _P(axis))
+            variables = replicate(variables, mesh)
+            assets = replicate(assets, mesh)
+        else:
+            self._row_sharding = None
+        self.variables = variables
+        self.assets = assets
         # generate+fit as ONE compiled program each (no inter-program
         # host round-trip on the hot serving path). want_metrics=False:
         # ServeResult carries bodies only, so the final-state metrics
@@ -132,6 +164,14 @@ class GenerationEngine:
         self._key, k = jax.random.split(self._key)
         return k
 
+    def _rows(self, x):
+        """Place a [population, ...] array: sharded over 'dp' on a mesh
+        engine (committed sharding propagates through the jitted
+        programs), plain device array otherwise."""
+        if self._row_sharding is None:
+            return jnp.asarray(x)
+        return jax.device_put(jnp.asarray(x), self._row_sharding)
+
     def generate(
         self,
         batch: Dict[str, np.ndarray],
@@ -149,10 +189,13 @@ class GenerationEngine:
             cam_int = jnp.asarray(batch["cam_int"]).reshape(1, 3, 3)
             max_d = jnp.asarray(batch["max_d"]).reshape(1)
             if fit:
-                cam_ext = jnp.broadcast_to(
-                    jnp.asarray(batch["cam_ext"]).reshape(1, 4, 4), (self.population, 4, 4)
+                cam_ext = self._rows(
+                    np.broadcast_to(
+                        np.asarray(batch["cam_ext"], np.float32).reshape(1, 4, 4),
+                        (self.population, 4, 4),
+                    )
                 )
-                sidx = jnp.full((self.population,), scene_idx, jnp.int32)
+                sidx = self._rows(np.full((self.population,), scene_idx, np.int32))
                 x72, _, _ = self._genfit(
                     self.variables, xs, cam_int, max_d, cam_ext, sidx, self._next_key()
                 )
@@ -219,14 +262,14 @@ class GenerationEngine:
             if fit:
                 x72, _, _ = self._genfit_rows(
                     self.variables, jnp.asarray(xs_stack), jnp.asarray(cam_int_stack),
-                    jnp.asarray(max_d_stack), jnp.asarray(req_idx),
-                    jnp.asarray(cam_ext_rows), jnp.asarray(sidx_rows), self._next_key(),
+                    jnp.asarray(max_d_stack), self._rows(req_idx),
+                    self._rows(cam_ext_rows), self._rows(sidx_rows), self._next_key(),
                 )
             else:
                 x72 = generate_bodies_rows(
                     self.model, self.variables,
                     jnp.asarray(xs_stack), jnp.asarray(cam_int_stack),
-                    jnp.asarray(max_d_stack), jnp.asarray(req_idx), self._next_key(),
+                    jnp.asarray(max_d_stack), self._rows(req_idx), self._next_key(),
                 )
             host = np.asarray(x72)
         latency = time.time() - t0
