@@ -46,7 +46,10 @@ def main():
     print("[3/5] scene-aware fitting (20 Adam iters, one XLA program)...")
     cam_ext = jnp.asarray(np.tile(b["cam_ext"][0][None], (args.n_samples, 1, 1)))
     scene_idx = jnp.zeros(args.n_samples, jnp.int32)
-    x_fit, metrics, hist = fit_bodies(assets, x72, cam_ext, scene_idx, FitConfig(num_iter=20))
+    # production fit stack (refresh blocks + fused Pallas LBS) — the
+    # same config every CLI defaults to; FitConfig.exact() for parity
+    x_fit, metrics, hist = fit_bodies(assets, x72, cam_ext, scene_idx,
+                                      FitConfig.production(num_iter=20))
     print(f"    loss {float(np.asarray(hist)[0].mean()):.4f} -> {float(np.asarray(hist)[-1].mean()):.4f}")
 
     print("[4/5] evaluation...")

@@ -28,6 +28,7 @@ def body_vec_to_verts(
     precision: str = "high",
     joints_direct=None,
     fused_bundle=None,
+    fused_mesh=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """x72: [B, 72] (axis-angle rot) -> (verts [B, V, 3], joints [B, J, 3]).
 
@@ -45,6 +46,10 @@ def body_vec_to_verts(
     fused_bundle: precomputed ``make_fused_bundle(smplx)`` for the
     'fused' path. Pass it when calling inside an optimization loop —
     building it per loss evaluation re-pads ~60 MB of model tensors.
+    fused_mesh: when the body axis is sharded over a device mesh, the
+    fused Pallas call must run under shard_map (a pallas_call is
+    unpartitionable to GSPMD) — pass the mesh here; ignored for the
+    einsum tiers, which GSPMD partitions on its own.
     """
     p = body_params_encapsulate(x72)
     pose_aa = vposer_decode(vposer_params, p["body_pose_vp"])
@@ -64,6 +69,7 @@ def body_vec_to_verts(
                 right_hand_pose=p["right_hand_pose"],
                 cam_ext=cam_ext,
                 bundle=fused_bundle,
+                mesh=fused_mesh,
             )
             return verts, joints
     verts, joints = smplx_forward(

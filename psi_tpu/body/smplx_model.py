@@ -350,6 +350,7 @@ def smplx_forward_fused(
     reye_pose: Optional[jax.Array] = None,
     cam_ext: Optional[jax.Array] = None,  # [B, 4, 4], folded into the kernel
     bundle=None,
+    mesh=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """smplx_forward with the vertex path in ONE Pallas kernel.
 
@@ -421,7 +422,7 @@ def smplx_forward_fused(
             "(posedirs presence or n_betas mismatch between the bundle's "
             "model and this one)"
         )
-    verts = fused_skinning_apply(cb, A12, cam12, bundle)
+    verts = fused_skinning_apply(cb, A12, cam12, bundle, mesh=mesh)
 
     joints = posed_joints + transl[:, None, :]
     if cam_ext is not None:

@@ -29,12 +29,15 @@ def add_asset_args(p: argparse.ArgumentParser):
     return p
 
 
-def build_assets(args, scene_names=None) -> Tuple[SceneAssets, SceneRegistry]:
-    """SceneAssets + registry from real paths, else synthetic."""
+def build_assets(args, scene_names=None, sdf_dtype=None) -> Tuple[SceneAssets, SceneRegistry]:
+    """SceneAssets + registry from real paths, else synthetic.
+
+    sdf_dtype: pack the SDF corner grid in this dtype (the production
+    fit stack passes bfloat16 — half the gather bytes; None = f32)."""
     if args.synthetic or args.proxe_path is None:
         return make_synthetic_assets(
             num_verts=10475, num_joints=55, num_scenes=len(scene_names or []) or 4,
-            sdf_dim=64, scene_points=20000, n_contact=1455,
+            sdf_dim=64, scene_points=20000, n_contact=1455, sdf_dtype=sdf_dtype,
         )
 
     from psi_tpu.body.smplx_model import load_smplx_npz
@@ -53,4 +56,5 @@ def build_assets(args, scene_names=None) -> Tuple[SceneAssets, SceneRegistry]:
         os.path.join(args.proxe_path, "scenes_sdf"),
         names,
     )
-    return make_assets(smplx, vposer, np.asarray(vids, np.int32), registry), registry
+    return make_assets(smplx, vposer, np.asarray(vids, np.int32), registry,
+                       sdf_dtype=sdf_dtype), registry

@@ -31,11 +31,26 @@ def build_parser():
     p.add_argument("--max_files", type=int, default=None, help="default: 1200 proxe / 10000 habitat")
     p.add_argument("--lr", type=float, default=0.1)
     p.add_argument(
-        "--refresh_every", type=int, default=1,
+        "--refresh_every", type=int, default=10,
         help="selection-refresh schedule for the fit losses: full SDF "
         "gathers + NN search every N-th Adam iter, frozen-cell/frozen-"
-        "correspondence math in between (~2x faster at 5; 1 = full loss "
-        "every iteration; accuracy record in PARITY.md)",
+        "correspondence math in between (1 = full loss every iteration; "
+        "accuracy record in PARITY.md / EVAL_SYNTH.md)",
+    )
+    p.add_argument(
+        "--lbs_precision", type=str, default="fused",
+        choices=["high", "fast", "fused"],
+        help="LBS tier inside the fit loss: 'fused' = one Pallas kernel "
+        "for the whole vertex path (production default, bf16 class); "
+        "'fast' = single-pass bf16 einsums; 'high' = split-bf16 parity "
+        "grade (the reference-exact tier)",
+    )
+    p.add_argument(
+        "--exact", action="store_true",
+        help="reference-exact loss semantics: full NN search + real SDF "
+        "gathers every iteration with 'high' LBS and f32 SDF grids "
+        "(overrides --refresh_every/--lbs_precision; protocol scores are "
+        "measured identical to the production default, EVAL_SYNTH.md)",
     )
     p.add_argument(
         "--prune_scene_points", type=int, default=2048,
@@ -57,6 +72,8 @@ def main(argv=None):
     from psi_tpu.utils.config import FitConfig
     from psi_tpu.cli.common import build_assets
 
+    refresh_every = 1 if args.exact else args.refresh_every
+    lbs_precision = "high" if args.exact else args.lbs_precision
     if args.dataset == "proxe":
         scenes = PROX_TEST_SCENES
         cfg = FitConfig(
@@ -65,7 +82,8 @@ def main(argv=None):
             contact_denom_offset=0.01,  # fitting_proxe.py:139
             weight_loss_rec=1.0, weight_loss_vposer=0.01,
             weight_contact=0.1, weight_collision=0.5,
-            refresh_every=args.refresh_every,
+            refresh_every=refresh_every,
+            lbs_precision=lbs_precision,
             prune_scene_points=args.prune_scene_points,
         )
         max_files = args.max_files or 1200
@@ -77,12 +95,21 @@ def main(argv=None):
             contact_denom_offset=1.0,  # fitting_habitat.py:141
             weight_loss_rec=1.0, weight_loss_vposer=0.01,
             weight_contact=0.1, weight_collision=0.5,
-            refresh_every=args.refresh_every,
+            refresh_every=refresh_every,
+            lbs_precision=lbs_precision,
             prune_scene_points=args.prune_scene_points,
         )
         max_files = args.max_files or 10000
 
-    assets, registry = build_assets(args, scene_names=scenes if not args.synthetic else None)
+    # production stack pairs the refresh config with bf16 packed SDF
+    # grids (half the gather bytes; protocol-score impact measured in
+    # EVAL_SYNTH.md); --exact keeps the f32 parity grids
+    import jax.numpy as jnp
+
+    assets, registry = build_assets(
+        args, scene_names=scenes if not args.synthetic else None,
+        sdf_dtype=None if args.exact else jnp.bfloat16,
+    )
 
     # Habitat bodies live in the habitat world frame; the reference right-
     # composes a y/z flip into the extrinsics before every loss transform

@@ -46,11 +46,15 @@ def build_parser():
     p.add_argument("--out_dir", type=str, default="serve_out")
     p.add_argument("--linger_ms", type=float, default=5.0,
                    help="micro-batch window after the first queued request")
-    p.add_argument("--refresh_every", type=int, default=5,
-                   help="fit-loss selection-refresh schedule (serving default 5 "
-                   "= ~2x faster refinement; 1 = full loss every iteration; "
-                   "contact candidate pruning still applies — see "
+    p.add_argument("--refresh_every", type=int, default=10,
+                   help="fit-loss selection-refresh schedule (production "
+                   "default 10; 1 = full loss every iteration; contact "
+                   "candidate pruning still applies — see "
                    "--prune_scene_points; accuracy record in PARITY.md)")
+    p.add_argument("--lbs_precision", type=str, default="fused",
+                   choices=["high", "fast", "fused"],
+                   help="LBS tier inside the fit loss (production default "
+                   "'fused' = one Pallas kernel for the whole vertex path)")
     p.add_argument("--prune_scene_points", type=int, default=2048,
                    help="contact-NN candidate set size (0 = exact full-scene "
                    "NN search; with refresh_every=1 and 0 here the fit is "
@@ -112,6 +116,7 @@ def main(argv=None, stdin=None, stdout=None):
             model, variables, assets, population=args.population,
             fit_cfg=FitConfig(
                 refresh_every=args.refresh_every,
+                lbs_precision=args.lbs_precision,
                 prune_scene_points=args.prune_scene_points,
             ),
         )

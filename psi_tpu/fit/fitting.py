@@ -63,6 +63,7 @@ def _per_body_losses(
     fresh_sdf: Optional[bool] = None,
     sub: Optional[Dict] = None,
     fused_bundle=None,
+    fused_mesh=None,
 ) -> Tuple[jax.Array, Tuple[Dict[str, jax.Array], Tuple]]:
     """Summed loss with per-body term semantics (fitting_proxe.py:101-162).
 
@@ -117,6 +118,7 @@ def _per_body_losses(
             return body_vec_to_verts(
                 assets.smplx, assets.vposer_params, xh_, cam_ext,
                 precision=cfg.lbs_precision, fused_bundle=fused_bundle,
+                fused_mesh=fused_mesh,
             )[0]
 
     if cfg.remat_decode:
@@ -199,7 +201,7 @@ def _per_body_losses(
     return jnp.sum(per_body), (metrics, (y_nn, sdf_cache))
 
 
-def _fit_program(cfg: FitConfig, want_metrics: bool = True):
+def _fit_program(cfg: FitConfig, want_metrics: bool = True, fused_mesh=None):
     """Unjitted fit(assets, x72_init, cam_ext, scene_idx) — shared by the
     standalone and the fused generate+fit programs. Callers MUST pass
     assets as a traced argument (closed-over arrays become compile-time
@@ -259,6 +261,10 @@ def _fit_program(cfg: FitConfig, want_metrics: bool = True):
                     jnp.int32,
                 )
                 n_score = min(64, x72_now.shape[0])
+                # one-time 64-row penetration-scoring decode: stays
+                # UNSHARDED even under a mesh (fused_mesh is not passed)
+                # — n_score may not divide the mesh, and an all-gather
+                # of 64 rows once per fit call is noise
                 verts0 = body_vec_to_verts(
                     assets.smplx, assets.vposer_params,
                     x72_now[:n_score], cam_ext[:n_score],
@@ -296,7 +302,7 @@ def _fit_program(cfg: FitConfig, want_metrics: bool = True):
         def loss_fn(xhr, sel=None, fresh_nn=True, fresh_sdf=True):
             return _per_body_losses(
                 assets, xhr, xhr_init, cam_ext, scene_idx, cfg, sel,
-                fresh_nn, fresh_sdf, subh["sub"], fused_bundle,
+                fresh_nn, fresh_sdf, subh["sub"], fused_bundle, fused_mesh,
             )
 
         def full_iter(carry, _):
@@ -332,9 +338,13 @@ def _fit_program(cfg: FitConfig, want_metrics: bool = True):
         n_verts = assets.smplx.v_template.shape[0]
         cc = n_contact if refresh else 1
         vc = n_verts if refresh else 1
+        # corner rows carry in the GRID's storage dtype (bf16 on the
+        # production packed grids — lossless, halves the biggest
+        # cheap-iter tensor; ops/sdf.py::sdf_trilinear_packed_cached)
+        cache_dtype = assets.sdf_packed.dtype if refresh else jnp.float32
         sel0 = (
             jnp.zeros((n, cc, 3), jnp.float32),
-            (jnp.zeros((n, vc, 8), jnp.float32), jnp.zeros((n, vc, 3), jnp.float32)),
+            (jnp.zeros((n, vc, 8), cache_dtype), jnp.zeros((n, vc, 3), jnp.float32)),
         )
         carry = (xhr_init, opt.init(xhr_init), sel0)
 
@@ -409,14 +419,19 @@ def _fit_program(cfg: FitConfig, want_metrics: bool = True):
     return fit
 
 
-def make_fit_step(assets: SceneAssets, cfg: FitConfig, want_metrics: bool = True):
+def make_fit_step(assets: SceneAssets, cfg: FitConfig, want_metrics: bool = True,
+                  mesh=None):
     """Returns jitted fit(x72_init [N,72], cam_ext [N,4,4], scene_idx [N])
     -> (x72_fitted [N,72], final per-body metrics, per-iter loss hist).
 
     The asset pytree is a traced *argument* of the jit, not a closure
     (see _fit_program). want_metrics=False drops the final metrics pass
-    (returns None in its slot) — see _fit_program."""
-    fit = jax.jit(_fit_program(cfg, want_metrics=want_metrics))
+    (returns None in its slot) — see _fit_program. mesh: pass the device
+    mesh when the population axis is sharded AND cfg.lbs_precision is
+    'fused' — the fused Pallas call then runs under shard_map over the
+    rows instead of forcing a GSPMD all-gather (ops/fused_skinning.py);
+    the einsum tiers partition without it."""
+    fit = jax.jit(_fit_program(cfg, want_metrics=want_metrics, fused_mesh=mesh))
 
     def bound(x72_init, cam_ext, scene_idx):
         return fit(assets, x72_init, cam_ext, scene_idx)
@@ -425,7 +440,7 @@ def make_fit_step(assets: SceneAssets, cfg: FitConfig, want_metrics: bool = True
 
 
 def make_generate_fit_step(model, assets: SceneAssets, cfg: FitConfig, n_samples: int,
-                           want_metrics: bool = True):
+                           want_metrics: bool = True, mesh=None):
     """Sample a population for ONE snapshot and refine it as ONE compiled
     program — no host round-trip between the generator and the fitter
     (each separate dispatch costs ~40 ms through a dev tunnel and
@@ -436,7 +451,7 @@ def make_generate_fit_step(model, assets: SceneAssets, cfg: FitConfig, n_samples
     want_metrics=False skips the final metrics pass (see _fit_program)."""
     from psi_tpu.gen.sample import _generate
 
-    fit = _fit_program(cfg, want_metrics=want_metrics)
+    fit = _fit_program(cfg, want_metrics=want_metrics, fused_mesh=mesh)
 
     @jax.jit
     def run(assets_, variables, xs, cam_int, max_d, cam_ext, scene_idx, key):
@@ -450,12 +465,12 @@ def make_generate_fit_step(model, assets: SceneAssets, cfg: FitConfig, n_samples
 
 
 def make_generate_fit_rows(model, assets: SceneAssets, cfg: FitConfig,
-                           want_metrics: bool = True):
+                           want_metrics: bool = True, mesh=None):
     """Coalesced-serving twin of make_generate_fit_step: sample per-row
     (row r conditioned on snapshot req_idx[r]) and refine, one program."""
     from psi_tpu.gen.sample import _generate_rows
 
-    fit = _fit_program(cfg, want_metrics=want_metrics)
+    fit = _fit_program(cfg, want_metrics=want_metrics, fused_mesh=mesh)
 
     @jax.jit
     def run(assets_, variables, xs_stack, cam_int_stack, max_d_stack, req_idx,

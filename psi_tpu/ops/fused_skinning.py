@@ -299,16 +299,31 @@ def fused_skinning_apply(
     A12: jax.Array,  # [B, J, 12] rel transforms, rows (R|t)
     cam12: jax.Array,  # [B, 12] 3x4 rows (camR | camR@transl + camT)
     bundle: SkinningBundle,
+    mesh=None,
+    axis_name: Optional[str] = None,  # default: the mesh's first axis
 ) -> jax.Array:
-    """verts [B, V, 3] (V = bundle.n_verts), transl + camera applied."""
-    return _apply(
-        bundle.n_verts,
-        not _on_tpu(),
-        cb,
-        A12,
-        cam12,
-        *bundle.base_cv,
-        *bundle.base_vc,
-        bundle.w_jv,
-        bundle.w_vj,
-    )
+    """verts [B, V, 3] (V = bundle.n_verts), transl + camera applied.
+
+    mesh: a 1-axis jax.sharding.Mesh when the body axis B is sharded
+    over devices. A pallas_call is an unpartitionable custom call to
+    GSPMD — without this, a 'dp'-sharded fit program would all-gather
+    the [B, ...] operands and run the FULL batch per chip. shard_map
+    over the body axis makes the kernel run on each chip's own rows
+    (every body is independent); the bundle operands are replicated.
+    """
+    args = (cb, A12, cam12, *bundle.base_cv, *bundle.base_vc, bundle.w_jv, bundle.w_vj)
+    if mesh is None:
+        return _apply(bundle.n_verts, not _on_tpu(), *args)
+
+    from jax.sharding import PartitionSpec as P
+
+    row, rep = P(axis_name or mesh.axis_names[0]), P()
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-
+    # axes annotation, so jax's replication checker cannot see through it
+    return jax.shard_map(
+        partial(_apply, bundle.n_verts, not _on_tpu()),
+        mesh=mesh,
+        in_specs=(row, row, row) + (rep,) * 8,
+        out_specs=row,
+        check_vma=False,
+    )(*args)

@@ -294,9 +294,12 @@ def sdf_trilinear_packed_cached(
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """sdf_trilinear_packed + the per-point cell cache.
 
-    Returns (sdf [B, N], cache) where cache = (corners [B, N, 8] f32,
-    base [B, N, 3] f32 floor voxel coords). The corner rows are fetched
-    by the lookup anyway, so emitting the cache is free; feeding it to
+    Returns (sdf [B, N], cache) where cache = (corners [B, N, 8] in the
+    GRID's storage dtype, base [B, N, 3] f32 floor voxel coords). The
+    corner rows are fetched by the lookup anyway, so emitting the cache
+    is free — and carrying them in the grid dtype is lossless (they were
+    gathered from it) while halving the dominant cheap-iteration HBM
+    tensor when the production bf16 packed grids are in use. Feeding it to
     ``sdf_trilinear_from_cache`` re-evaluates the SDF at MOVED points
     with zero gathers — each point's SDF is the linear (trilinear-
     extrapolated) patch of the cell it occupied at cache time. Exact
@@ -316,11 +319,11 @@ def sdf_trilinear_packed_cached(
     rows = sdf_packed.reshape(-1, 8)
     sbase = (scene_idx.astype(jnp.int32) * D)[:, None]
     flat = ((sbase + x0i) * H + y0i) * W + z0i
-    c = jnp.take(rows, flat, axis=0).astype(jnp.float32)  # [B, N, 8]
+    c_src = jnp.take(rows, flat, axis=0)  # [B, N, 8], grid dtype
 
-    sdf = _lerp8(c, cx - x0, cy - y0, cz - z0)
+    sdf = _lerp8(c_src.astype(jnp.float32), cx - x0, cy - y0, cz - z0)
     base = jnp.stack([x0, y0, z0], axis=-1)  # floor coords as f32
-    return sdf, (c, base)
+    return sdf, (c_src, base)
 
 
 def sdf_trilinear_from_cache(
@@ -343,7 +346,7 @@ def sdf_trilinear_from_cache(
     clamping — flatlines the gradient at the old cell border).
     """
     corners, base = cache
-    corners = jax.lax.stop_gradient(corners)
+    corners = jax.lax.stop_gradient(corners).astype(jnp.float32)
     base = jax.lax.stop_gradient(base)
     cx, cy, cz = _voxel_coords(points, scene_idx, grid_mins, grid_maxs, dims)
     return _lerp8(corners, cx - base[..., 0], cy - base[..., 1], cz - base[..., 2])

@@ -78,7 +78,10 @@ class GenerationEngine:
     ):
         self.model = model
         self.population = population
-        self.fit_cfg = fit_cfg or FitConfig()
+        # serving default is the production fit stack (protocol-validated
+        # score-identical to exact, EVAL_SYNTH.md); pass FitConfig.exact()
+        # for reference-exact refinement semantics
+        self.fit_cfg = fit_cfg or FitConfig.production()
         self.max_requests = max_requests  # compiled request-slot count
         # Multi-chip serving: population rows shard over the mesh's 'dp'
         # axis — the same GSPMD layout the fitting path already runs
@@ -112,9 +115,9 @@ class GenerationEngine:
         # pass — a full exact loss evaluation — would be computed and
         # thrown away on every request.
         self._genfit = make_generate_fit_step(
-            model, assets, self.fit_cfg, population, want_metrics=False)
+            model, assets, self.fit_cfg, population, want_metrics=False, mesh=mesh)
         self._genfit_rows = make_generate_fit_rows(
-            model, assets, self.fit_cfg, want_metrics=False)
+            model, assets, self.fit_cfg, want_metrics=False, mesh=mesh)
         self._key = jax.random.PRNGKey(seed)
         self._lock = threading.Lock()  # device programs are not re-entrant
 

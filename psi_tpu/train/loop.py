@@ -228,24 +228,42 @@ class TrainOP:
             if self.epoch_fn is not None:
                 # run the epoch as chunked scan programs: stack at most
                 # scan_chunk_size batches on device at a time (bounds
-                # peak HBM); a leftover tail of < chunk batches goes
-                # through the per-step path with the same key sequence
+                # peak HBM). Batches STREAM from the generator chunk by
+                # chunk: each scan program is dispatched asynchronously,
+                # so the host assembles chunk k+1 (and a prefetching
+                # loader like data/native_loader.py fills its next
+                # buffer) while the device executes chunk k. Draining
+                # the whole epoch up front — the previous structure —
+                # held every snapshot of the epoch in host RAM (GBs at
+                # PROX scale) and serialized loader IO against device
+                # compute. A leftover tail of < chunk batches goes
+                # through the per-step path with the same key sequence.
                 chunk = max(1, cfg.scan_chunk_size)
-                # pending stays HOST-side (numpy): only the current
-                # chunk's stack ever lives on device, which is the whole
-                # point of the chunking (a full PROX epoch of snapshots
-                # is GBs — device_put-ing it all up front would defeat
-                # the scan_chunk_size HBM bound)
-                pending = []
+                batches_done = skip_batches if ep == starting_ep else 0
+                n_skip = batches_done
+                skipped = 0
+                group = []
+                pending_metrics = None  # device handle of the in-flight chunk
+
+                def _drain_metrics(m, n_steps):
+                    nonlocal last_metrics
+                    vals = {k: np.asarray(v) for k, v in m.items()}
+                    last_metrics = {k: float(v[-1]) for k, v in vals.items()}
+                    for si in range(n_steps):
+                        metrics_f.write(
+                            json.dumps({"epoch": ep + 1, **{k: float(v[si]) for k, v in vals.items()}}) + "\n"
+                        )
+
                 while batch_gen.has_next_batch():
                     b = batch_gen.next_batch(cfg.batch_size)
-                    if b is not None:
-                        pending.append({k: np.asarray(v) for k, v in b.items()})
-                batches_done = skip_batches if ep == starting_ep else 0
-                pending = pending[batches_done:]
-                n_full = (len(pending) // chunk) * chunk
-                for lo in range(0, n_full, chunk):
-                    group = pending[lo : lo + chunk]
+                    if b is None:
+                        continue
+                    if skipped < n_skip:  # mid-epoch resume: already trained
+                        skipped += 1
+                        continue
+                    group.append({k: np.asarray(v) for k, v in b.items()})
+                    if len(group) < chunk:
+                        continue
                     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *group)
                     keys = jnp.stack([self._next_key() for _ in group])
                     if self.mesh is not None:
@@ -254,15 +272,16 @@ class TrainOP:
 
                         sh = NamedSharding(self.mesh, P(None, "dp"))
                         stacked = jax.tree.map(lambda x: jax.device_put(x, sh), stacked)
-                    self.state, metrics = self.epoch_fn(
+                    if pending_metrics is not None:
+                        # sync on the PREVIOUS chunk only now, after the
+                        # next chunk is assembled and dispatched inputs
+                        # are staged — keeps loader IO off the critical path
+                        _drain_metrics(pending_metrics, chunk)
+                    self.state, pending_metrics = self.epoch_fn(
                         self.state, stacked, keys, fca_arr, fs_arr
                     )
-                    last_metrics = {k: float(v[-1]) for k, v in metrics.items()}
-                    for si in range(len(group)):
-                        metrics_f.write(
-                            json.dumps({"epoch": ep + 1, **{k: float(v[si]) for k, v in metrics.items()}}) + "\n"
-                        )
-                    batches_done += len(group)
+                    group = []
+                    batches_done += chunk
                     # mid-epoch wall-clock cadence at chunk boundaries
                     # (reference: every saving_per_hours INSIDE the
                     # epoch, train_s1.py:303-310 — a preemption must not
@@ -273,7 +292,9 @@ class TrainOP:
                             cfg.save_dir, ep, self.state,
                             key=self._key, batches_done=batches_done,
                         )
-                for batch in pending[n_full:]:  # tail: per-step path
+                if pending_metrics is not None:
+                    _drain_metrics(pending_metrics, chunk)
+                for batch in group:  # tail: per-step path
                     if self.mesh is not None:
                         batch = shard_batch(batch, self.mesh)
                     self.state, metrics = self.step_fn(

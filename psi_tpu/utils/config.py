@@ -79,7 +79,18 @@ class TrainConfig:
 
 @dataclasses.dataclass(frozen=True)
 class FitConfig:
-    """Fitting refinement configuration (reference fitting_proxe.py:227-247)."""
+    """Fitting refinement configuration (reference fitting_proxe.py:227-247).
+
+    The dataclass DEFAULTS are the reference-exact loss semantics (full
+    NN search + real SDF gathers every iteration, split-bf16 LBS) — the
+    parity contract for library callers. Every user-facing entry point
+    (cli.fitting, cli.serve, the serving engine, bench.py, demo.py)
+    defaults to ``FitConfig.production()`` — the selection-refresh +
+    fused-Pallas-LBS configuration protocol-validated score-identical
+    to exact at both protocol shapes (EVAL_SYNTH.md round 3/4) at ~3x
+    the throughput — with an ``--exact`` escape hatch mapping to
+    ``FitConfig.exact()``.
+    """
 
     init_lr_h: float = 0.1
     num_iter: int = 20
@@ -182,6 +193,33 @@ class FitConfig:
     # OPT-IN, default 0: the production config keeps reference-grade
     # scores and this knob is the documented next speed tier.
     cheap_collision_verts: int = 0
+
+    @classmethod
+    def production(cls, **overrides) -> "FitConfig":
+        """The throughput configuration of record: selection-refresh
+        blocks (full loss every 10th iter after a 4-iter NN-only warmup)
+        + the fused Pallas decode+LBS kernel. Protocol-validated
+        score-identical to exact at both protocol shapes — PROX-E
+        non-collision 0.8150 / contact 0.1933 EXACT vs 0.8150 / 0.1933
+        FUSED (scripts/protocol_compare_refresh.py, round 4); 7.75 vs
+        32.2 ms/iter at bench shapes (scripts/profile_fused.py). Pair
+        with bf16 packed SDF grids (make_assets(sdf_dtype=bfloat16))
+        for the full production stack."""
+        kw = dict(refresh_every=10, lbs_precision="fused")
+        kw.update(overrides)
+        return cls(**kw)
+
+    @classmethod
+    def exact(cls, **overrides) -> "FitConfig":
+        """Reference-exact loss semantics (= the dataclass defaults,
+        spelled explicitly): full scene-cloud NN search + real packed-
+        grid SDF gathers every Adam iteration, split-bf16 ('high') LBS.
+        prune_scene_points=2048 is kept — protocol-validated identical
+        to the full scene cloud (EVAL_SYNTH.md); pass
+        prune_scene_points=0 for the fully-exact NN search."""
+        kw = dict(refresh_every=1, lbs_precision="high")
+        kw.update(overrides)
+        return cls(**kw)
 
 
 def save_config(cfg, path: str) -> None:

@@ -26,7 +26,7 @@ N = 64
 def main():
     print("device:", jax.devices()[0].device_kind, flush=True)
     assets, _ = make_synthetic_assets(
-        num_verts=1024, num_joints=24, num_scenes=2, sdf_dim=32,
+        num_verts=1024, num_joints=55, num_scenes=2, sdf_dim=32,
         scene_points=2000, n_contact=128, seed=0,
     )
     rng = np.random.default_rng(0)

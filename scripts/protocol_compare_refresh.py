@@ -120,6 +120,13 @@ def main():
         # 655 -> 882 bodies/s, MP3D-R 400 -> 480, scores held.
         ("r10-nosdfwarm    ", C(refresh_every=10, lbs_precision="fast",
                                 sdf_warmup_gathers=False), assets_bf16),
+        # fused Pallas decode+LBS (ops/fused_skinning.py): same bf16
+        # numerics tier as 'fast' with the [N,V,*] HBM intermediates
+        # eliminated — measured 10.42 -> 7.75 ms/iter at bench shapes
+        # (scripts/profile_fused.py round 4). THE PRODUCTION CONFIG
+        # since round 4 if this row's scores hold vs r10-nosdfwarm.
+        ("r10-nosw-fused   ", C(refresh_every=10, lbs_precision="fused",
+                                sdf_warmup_gathers=False), assets_bf16),
         # vertex-subset cheap iterations (FitConfig.cheap_collision_verts):
         # cached-SDF iters decode contact_vids + a stride-uniform 2048-
         # vertex subset; full passes still score every vertex. The
