@@ -256,33 +256,47 @@ def measure_tpu() -> float:
     if os.environ.get("PSI_BENCH_ROOFLINE", "1") != "0":
         try:
             from psi_tpu.bench.roofline import (
-                fit_program_cost, train_step_cost, utilization,
+                device_peaks, fit_program_cost, train_step_flops, utilization,
             )
 
             rl = {"method": (
-                "XLA cost_analysis of the compiled per-iteration programs "
-                "(while-loop bodies are counted once by HLO cost analysis, so "
-                "each schedule segment is compiled standalone and scaled by "
-                "its static iteration count); 'bytes' is post-fusion HLO "
-                "operand+output bytes — an upper-bound HBM-traffic model"
+                "analytic per-iteration FLOP/HBM-byte/gather-row model "
+                "(itemized in psi_tpu/bench/roofline.py; XLA cost_analysis "
+                "was measured unusable here — it counts scan bodies once, "
+                "reports logical operand bytes at 4-8x physical HBM peak, "
+                "and cannot see pallas-kernel FLOPs), scaled by the static "
+                "schedule and divided by the measured walls. Three resources "
+                "modeled: MXU bf16 peak, HBM streaming peak, and the gather "
+                "engine at ~8 ns/row (packed-SDF corner fetches are random-"
+                "access row gathers — 43 MB of rows take ~21 ms, where "
+                "streaming would take 0.05 ms)."
             )}
-            cost_prod = fit_program_cost(assets_bf16, fit_cfg, N_BODIES)
+            cost_prod = fit_program_cost(fit_cfg, N_BODIES, grid_value_bytes=2)
             rl["fit_production"] = {
-                **utilization({k: cost_prod[k] for k in ("flops", "bytes")}, fit_s),
+                **utilization(cost_prod, fit_s),
                 "wall_s": round(fit_s, 4),
                 "segments": cost_prod["segments"],
             }
-            cost_exact = fit_program_cost(assets, exact_cfg, N_BODIES)
+            cost_exact = fit_program_cost(exact_cfg, N_BODIES, grid_value_bytes=4)
             rl["fit_exact"] = {
-                **utilization({k: cost_exact[k] for k in ("flops", "bytes")}, exact_fit_s),
+                **utilization(cost_exact, exact_fit_s),
                 "wall_s": round(exact_fit_s, 4),
             }
             if train_wall_per_step is not None:
-                cost_tr = train_step_cost(assets, TRAIN_BATCH)
-                rl["train_step"] = {
-                    **utilization(cost_tr, train_wall_per_step),
+                fl = train_step_flops(assets, TRAIN_BATCH)
+                pk = device_peaks()
+                tr = {
+                    "flops": fl,
+                    "achieved_tflops": round(fl / train_wall_per_step / 1e12, 2),
                     "wall_s": round(train_wall_per_step, 5),
+                    "note": "flops via XLA cost_analysis of the single compiled "
+                            "step (conv-dominated; the pallas chamfer's ~7 GF is "
+                            "invisible to it, <3% of total); train-step bytes "
+                            "not modeled",
                 }
+                if pk is not None:
+                    tr["pct_mxu_peak"] = round(100 * fl / pk[1] / train_wall_per_step, 1)
+                rl["train_step"] = tr
             stages["roofline"] = rl
             _log(f"roofline: {json.dumps(rl)}")
         except Exception as e:

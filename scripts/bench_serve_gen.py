@@ -7,10 +7,12 @@ from psi_tpu.models import HumanCVAES1
 from psi_tpu.serve import GenerationEngine
 from psi_tpu.utils.config import FitConfig
 
-assets, _ = make_synthetic_assets()
+# production serving stack: bf16 packed grids + FitConfig.production()
+assets, _ = make_synthetic_assets(sdf_dtype=jnp.bfloat16)
 mdl = HumanCVAES1(latentD=256)
 variables = mdl.init(jax.random.PRNGKey(0), jnp.zeros((1, 75)), jnp.zeros((1, 128, 128, 2)))
-eng = GenerationEngine(mdl, variables, assets, population=256, fit_cfg=FitConfig(num_iter=20))
+eng = GenerationEngine(mdl, variables, assets, population=256,
+                       fit_cfg=FitConfig.production(num_iter=20))
 print("warmup_s:", round(eng.warmup(), 1))
 rng = np.random.RandomState(0)
 def batch(i):
