@@ -10,10 +10,11 @@ divides by a freshly-measured reference-semantics torch-CPU baseline
 
 Also recorded in the stages block: exact-mode (reference-exact loss
 semantics) throughput, an s2 (two-stage CVAE) line, a training-step
-measurement, and a roofline/utilization block (%-of-v5e MXU peak and
-HBM bandwidth for the fit iterations and the train step, from XLA's
-own cost analysis of the compiled per-iteration programs —
-psi_tpu/bench/roofline.py).
+measurement, and a roofline/utilization block (%-of-v5e MXU peak, HBM
+streaming bandwidth, and gather-engine row rate for the fit iterations
+and the train step, from the analytic per-iteration cost model in
+psi_tpu/bench/roofline.py — XLA's own cost analysis is unusable here,
+see that module's docstring).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "bodies/s", "vs_baseline": N}

@@ -192,9 +192,16 @@ def fit_program_cost(cfg, n_bodies: int, grid_value_bytes: int) -> Dict[str, flo
 
 def utilization(cost: Dict[str, float], wall_s: float) -> Dict[str, float]:
     """Achieved rates, %-of-peak per resource, the binding resource, and
-    the light-speed fraction (sum of per-resource minimum times / wall —
-    the resources are mostly serial here: gathers cannot overlap the
-    dense segments of the SAME iteration chain)."""
+    the light-speed fraction (sum of per-resource minimum times / wall).
+
+    The serial-sum lightspeed is an OPTIMISTIC floor: XLA's scheduler
+    can hide *some* gather DMA under dependency-free dense work
+    (measured round 4 — the NN winner-fetch gather costs 2.9 ms
+    isolated but ~0 inside the fit program, scripts/profile_nn_fetch.py),
+    so true attainable walls sit between max(resource times) and this
+    sum. The dominant SDF corner gather, however, sits on the critical
+    decode -> gather -> loss chain of each iteration, so for these
+    programs the serial model is close."""
     pk = device_peaks()
     out = {
         "achieved_tflops": round(cost["flops"] / wall_s / 1e12, 2),

@@ -264,7 +264,12 @@ class TrainOP:
                     group.append({k: np.asarray(v) for k, v in b.items()})
                     if len(group) < chunk:
                         continue
-                    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *group)
+                    # stack on HOST, transfer once: jnp.stack over a
+                    # list of host arrays issues one device put PER
+                    # ELEMENT (chunk x latency each); np.stack + one
+                    # jnp.asarray is a single transfer per leaf
+                    stacked = jax.tree.map(
+                        lambda *xs: jnp.asarray(np.stack(xs)), *group)
                     keys = jnp.stack([self._next_key() for _ in group])
                     if self.mesh is not None:
                         # axis 0 is the scan/step axis; shard the batch axis

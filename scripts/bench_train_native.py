@@ -62,24 +62,27 @@ def main():
 
     # ---- pack a full-scale synthetic dataset to .psipack ----
     t0 = time.time()
-    gen = SyntheticBatchGenerator(num_scenes=4, batches_per_epoch=1, seed=0)
     n = args.samples
-    chunks = []
     per = 512
-    for lo in range(0, n, per):
-        b = gen.next_batch(min(per, n - lo))
-        chunks.append(b)
-    cat = {k: np.concatenate([c[k] for c in chunks], axis=0) for k in chunks[0]}
     pack_path = os.path.join(tempfile.gettempdir(), f"soak_{n}.psipack")
-    pack_dataset(
-        pack_path,
-        cat["xs"][..., 0].reshape(n, -1), cat["xs"][..., 1].reshape(n, -1),
-        cat["xh"].reshape(n, -1), cat["cam_ext"].reshape(n, -1),
-        cat["cam_int"].reshape(n, -1), cat["max_d"].reshape(n),
-        cat["scene_idx"].astype(np.int32),
-    )
+    if not os.path.exists(pack_path):
+        gen = SyntheticBatchGenerator(
+            num_scenes=4, batches_per_epoch=-(-n // per), seed=0)
+        chunks = []
+        for lo in range(0, n, per):
+            b = gen.next_batch(min(per, n - lo))
+            assert b is not None
+            chunks.append(b)
+        cat = {k: np.concatenate([c[k] for c in chunks], axis=0) for k in chunks[0]}
+        pack_dataset(
+            pack_path,
+            cat["xs"][..., 0].reshape(n, -1), cat["xs"][..., 1].reshape(n, -1),
+            cat["xh"].reshape(n, -1), cat["cam_ext"].reshape(n, -1),
+            cat["cam_int"].reshape(n, -1), cat["max_d"].reshape(n),
+            cat["scene_idx"].astype(np.int32),
+        )
     pack_mb = os.path.getsize(pack_path) / 1e6
-    print(f"[soak] packed {n} samples -> {pack_path} ({pack_mb:.0f} MB, "
+    print(f"[soak] pack: {n} samples at {pack_path} ({pack_mb:.0f} MB, "
           f"{time.time()-t0:.1f}s)", file=sys.stderr, flush=True)
 
     assets, _ = make_synthetic_assets(
@@ -95,6 +98,16 @@ def main():
     op = TrainOP(cfg, LossConfig(), assets)
     loader = TimedGen(NativeBatchGenerator(pack_path, args.batch, seed=0))
 
+    # warmup epoch: pays the scan-chunk XLA compiles so the timed run
+    # measures steady-state throughput, not compile time
+    import dataclasses
+    warm_cfg = dataclasses.replace(cfg, epoch=1)
+    t0 = time.time()
+    TrainOP(warm_cfg, LossConfig(), assets).train(loader)
+    warm_s = time.time() - t0
+    loader.reset()
+    loader.wall, loader.calls = 0.0, 0
+
     t0 = time.time()
     op.train(loader)
     wall = time.time() - t0
@@ -104,6 +117,7 @@ def main():
         "steps": steps,
         "epochs": args.epochs,
         "batch_size": args.batch,
+        "warmup_epoch_s": round(warm_s, 1),
         "wall_s": round(wall, 1),
         "steps_per_sec": round(steps / wall, 1),
         "samples_per_sec": round(steps * args.batch / wall, 0),
