@@ -145,6 +145,39 @@ def make_epoch_step(
     return bound
 
 
+def _stage_chunk(group, stage_bf16: bool, sharding=None, attempts: int = 3):
+    """Stack a chunk of host batches and transfer it in ONE put per leaf.
+
+    jnp.stack over a list of host arrays issues one device put PER
+    ELEMENT (chunk x transfer latency each); np.stack + one jnp.asarray
+    is a single transfer per leaf. With stage_bf16 the snapshot images
+    go over the wire in bfloat16 (half the bytes; the objective upcasts
+    on entry). Transfers retry on transient runtime failures — tunneled
+    and remote device backends occasionally fail a put under sustained
+    transfer load; quiescing the device and retrying recovers.
+    """
+    import ml_dtypes
+
+    stacked_np = {k: np.stack([g[k] for g in group]) for k in group[0]}
+    if stage_bf16:
+        stacked_np["xs"] = stacked_np["xs"].astype(ml_dtypes.bfloat16)
+    last_err = None
+    for attempt in range(attempts):
+        try:
+            if sharding is not None:
+                return {k: jax.device_put(v, sharding) for k, v in stacked_np.items()}
+            return {k: jnp.asarray(v) for k, v in stacked_np.items()}
+        except jax.errors.JaxRuntimeError as e:
+            last_err = e
+            # drain every in-flight program/transfer, then back off
+            try:
+                jax.effects_barrier()
+            except Exception:
+                pass
+            time.sleep(0.5 * (attempt + 1))
+    raise last_err
+
+
 class TrainOP:
     """End-to-end training driver (TrainOP parity, train_s1.py:38-338)."""
 
@@ -264,19 +297,14 @@ class TrainOP:
                     group.append({k: np.asarray(v) for k, v in b.items()})
                     if len(group) < chunk:
                         continue
-                    # stack on HOST, transfer once: jnp.stack over a
-                    # list of host arrays issues one device put PER
-                    # ELEMENT (chunk x latency each); np.stack + one
-                    # jnp.asarray is a single transfer per leaf
-                    stacked = jax.tree.map(
-                        lambda *xs: jnp.asarray(np.stack(xs)), *group)
-                    keys = jnp.stack([self._next_key() for _ in group])
+                    sh = None
                     if self.mesh is not None:
                         # axis 0 is the scan/step axis; shard the batch axis
                         from jax.sharding import NamedSharding, PartitionSpec as P
 
                         sh = NamedSharding(self.mesh, P(None, "dp"))
-                        stacked = jax.tree.map(lambda x: jax.device_put(x, sh), stacked)
+                    stacked = _stage_chunk(group, cfg.stage_bf16, sharding=sh)
+                    keys = jnp.stack([self._next_key() for _ in group])
                     if pending_metrics is not None:
                         # sync on the PREVIOUS chunk only now, after the
                         # next chunk is assembled and dispatched inputs

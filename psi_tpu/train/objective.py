@@ -110,6 +110,10 @@ def cvae_loss(
     cam_int = batch["cam_int"]
     cam_ext = batch["cam_ext"]
     max_d = batch["max_d"]
+    if batch["xs"].dtype != jnp.float32:
+        # bf16-staged snapshots (TrainConfig.stage_bf16): model math
+        # stays f32, only the host->device wire format is narrowed
+        batch = dict(batch, xs=batch["xs"].astype(jnp.float32))
 
     xhn = normalize_global_T(xh, cam_int, max_d)
     xhnr = convert_to_6D_rot(xhn)

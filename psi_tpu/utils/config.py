@@ -69,6 +69,10 @@ class TrainConfig:
     # semantics, the per-batch key sequence is shared.
     scan_epoch: bool = False
     scan_chunk_size: int = 32
+    # stage snapshot images to the device in bfloat16 (half the
+    # host->device bytes per chunk; the model upcasts to f32 on entry).
+    # Lossy for the depth channel at ~3 decimal digits — opt-in.
+    stage_bf16: bool = False
     # parallelism
     num_devices: Optional[int] = None  # None -> all available
 

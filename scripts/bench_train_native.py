@@ -53,6 +53,9 @@ def main():
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--chunk", type=int, default=32)
+    ap.add_argument("--stage_bf16", action="store_true",
+                    help="stage snapshot images in bfloat16 (half the "
+                         "host->device bytes per chunk)")
     args = ap.parse_args()
 
     from psi_tpu.data.native_loader import NativeBatchGenerator, pack_dataset
@@ -92,6 +95,7 @@ def main():
     cfg = TrainConfig(
         model_type="s1", latentD=256, batch_size=args.batch,
         epoch=args.epochs, scan_epoch=True, scan_chunk_size=args.chunk,
+        stage_bf16=args.stage_bf16,
         save_dir=os.path.join(tempfile.gettempdir(), "soak_ckpt"),
         resume_training=False, verbose=False, saving_per_epochs=10_000,
     )
@@ -125,6 +129,7 @@ def main():
         "loader_occupancy": round(loader.wall / wall, 3),
         "loader_calls": loader.calls,
         "pack_mb": round(pack_mb, 1),
+        "stage_bf16": args.stage_bf16,
     }))
 
 

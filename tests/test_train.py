@@ -261,3 +261,29 @@ def test_midepoch_wallclock_resume(tiny_assets, tmp_path, scan_epoch):
     assert int(op_r.state.step) == 6  # 2 restored + 4 resumed
     for a, r in zip(jax.tree.leaves(op_a.state.params), jax.tree.leaves(op_r.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=1e-6, atol=1e-7)
+
+
+def test_trainop_scan_epoch_stage_bf16(tiny_assets, tmp_path):
+    """stage_bf16 narrows only the host->device wire format of the
+    snapshot images (TrainConfig.stage_bf16; the objective upcasts on
+    entry, objective.py) — training runs and stays close to the f32-
+    staged run. Not bit-exact: bf16 keeps ~3 decimal digits of the
+    depth channel."""
+    assets, _ = tiny_assets
+    base = dict(
+        model_type="s1", latentD=32, batch_size=4, epoch=1,
+        saving_per_epochs=1, verbose=False, seed=9,
+        scan_epoch=True, scan_chunk_size=2,
+    )
+    cfg_a = TrainConfig(save_dir=str(tmp_path / "bf16"), stage_bf16=True, **base)
+    op_a = TrainOP(cfg_a, LossConfig(), assets)
+    metrics_a = op_a.train(SyntheticBatchGenerator(num_scenes=3, batches_per_epoch=4, seed=3))
+
+    cfg_b = TrainConfig(save_dir=str(tmp_path / "f32"), **base)
+    op_b = TrainOP(cfg_b, LossConfig(), assets)
+    metrics_b = op_b.train(SyntheticBatchGenerator(num_scenes=3, batches_per_epoch=4, seed=3))
+
+    assert np.isfinite(metrics_a["loss"])
+    # image quantization perturbs the encoder input; bound the loss gap
+    # loosely and require the same order of magnitude
+    np.testing.assert_allclose(metrics_a["loss"], metrics_b["loss"], rtol=0.05)
