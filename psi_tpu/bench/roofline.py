@@ -227,6 +227,115 @@ def utilization(cost: Dict[str, float], wall_s: float) -> Dict[str, float]:
     return out
 
 
+def train_step_cost(
+    B: int,
+    V: int = 10475,
+    C: int = 1455,
+    M: int = 20000,
+    J: int = 55,
+    L: int = 10,
+    P: int = 486,
+    H: int = 128,
+) -> Dict[str, float]:
+    """Analytic per-step resource model of the six-term training step
+    (round-4 verdict next #4: 'train-step bytes not modeled').
+
+    Counts the three modeled resources for ONE optimizer step at batch
+    B, itemized per stage. The conv trunk runs in f32 (flax default —
+    the torch-parity dtype), so its MXU peak is HALF the bf16 peak;
+    `flops_f32` carries the f32-rate share separately so utilization
+    can rate it against the right ceiling.
+    """
+    f32 = 4
+
+    # --- ResNet18 trunk (2-ch 128x128, through layer2) + heads, f32 ---
+    # fwd MACs per sample, itemized per conv (NHWC out sizes at H=128):
+    # conv1 7x7x2->64 /2 @64^2; layer1: 4x 3x3x64->64 @32^2;
+    # layer2: 3x3x64->128 /2 + 3x 3x3x128->128 @16^2 (+1x1 downsample);
+    # encoder-side extra 3x3x128->f_dim conv + FCs are small.
+    sp = H // 2, H // 4, H // 8  # 64, 32, 16
+    conv_macs = (
+        sp[0] ** 2 * 64 * (7 * 7 * 2)
+        + 4 * sp[1] ** 2 * 64 * (9 * 64)
+        + sp[2] ** 2 * 128 * (9 * 64) + 3 * sp[2] ** 2 * 128 * (9 * 128)
+        + sp[2] ** 2 * 128 * 64
+    )
+    # decoder/encoder MLPs (~512-wide ResBlocks on 75/512-D): ~3 MFLOP/sample
+    mlp_macs = 3e6 / 2
+    # train = fwd + grad-wrt-weights + grad-wrt-activations ~ 3x fwd
+    conv_flops = 3 * 2 * B * (conv_macs + mlp_macs)
+    # activation traffic: fwd writes + bwd re-reads + cotangents (~3x
+    # the fwd activation footprint), f32 NHWC
+    act_elems = (
+        sp[0] ** 2 * 64 + 4 * sp[1] ** 2 * 64 + 4 * sp[2] ** 2 * 128 + H * H * 2
+    )
+    conv_bytes = 3 * B * act_elems * f32
+
+    # --- body decode (split-bf16 'high' tier in training) ---
+    # same itemization as fit_segment_model's 'high' branch (the chain
+    # is shared verbatim between the objectives, train/objective.py):
+    passes = 2
+    dec_flops = passes * (2 * B * P * 3 * V + 2 * B * L * 3 * V + 2 * B * V * J * 16) \
+        + 2 * B * V * 24
+    dec_flops = 3 * dec_flops  # fwd + bwd transposes
+    bf16 = 2
+    # model tensors streamed fwd+bwd (posedirs dominates: P*3V) + the
+    # materialized [B,V,*] intermediates fwd+bwd
+    dec_bytes = 2 * (P * 3 * V + V * J) * bf16 + 2.5 * B * V * (3 + 3 + 16 + 3 + 3) * f32
+
+    # --- chamfer contact (train uses the UNPRUNED M-point cloud) ---
+    cham_flops = 8.0 * B * C * M * 2
+    cham_bytes = 2 * (B * M * 3 + B * C * 3 * 2) * f32
+
+    # --- SDF collision: one corner-packed row per vertex (f32 grids) ---
+    sdf_rows = B * V
+    sdf_bytes = 2 * (B * V * 8 * f32 + B * V * 3 * f32)
+    sdf_flops = 30.0 * B * V * 2
+
+    # --- optimizer + params (6.5M params adam: 8 reads/writes each) ---
+    n_params = 6.5e6
+    opt_bytes = 8 * n_params * f32
+    opt_flops = 10 * n_params
+
+    return {
+        "flops_f32_rate": float(conv_flops),  # rate against f32 peak (1/2 bf16)
+        "flops": float(dec_flops + cham_flops + sdf_flops + opt_flops),
+        "hbm_bytes": float(conv_bytes + dec_bytes + cham_bytes + sdf_bytes + opt_bytes),
+        "gather_rows": float(sdf_rows),
+    }
+
+
+def train_utilization(cost: Dict[str, float], wall_s: float) -> Dict[str, float]:
+    """Utilization + serial lightspeed for the train step (both conv
+    f32-rate and bf16-rate flops against their own ceilings)."""
+    pk = device_peaks()
+    out: Dict[str, float] = {
+        "wall_s": round(wall_s, 5),
+        "modeled_flops": cost["flops"] + cost["flops_f32_rate"],
+        "modeled_gb": round(cost["hbm_bytes"] / 1e9, 3),
+        "modeled_mrows": round(cost["gather_rows"] / 1e6, 3),
+    }
+    if pk is None:
+        return out
+    kind, peak_flops, peak_bw = pk
+    t_mxu = cost["flops"] / peak_flops + cost["flops_f32_rate"] / (peak_flops / 2)
+    t_hbm = cost["hbm_bytes"] / peak_bw
+    t_gather = cost["gather_rows"] * GATHER_NS_PER_ROW * 1e-9
+    light = t_mxu + t_hbm + t_gather
+    out.update(
+        device=kind,
+        pct_mxu_peak=round(100 * t_mxu / wall_s, 1),
+        pct_hbm_peak=round(100 * t_hbm / wall_s, 1),
+        pct_gather_engine=round(100 * t_gather / wall_s, 1),
+        bound=max(
+            [("mxu", t_mxu), ("hbm", t_hbm), ("gather", t_gather)], key=lambda kv: kv[1]
+        )[0],
+        lightspeed_s=round(light, 5),
+        lightspeed_frac=round(light / wall_s, 3),
+    )
+    return out
+
+
 def train_step_flops(assets, batch_size: int, model_type: str = "s1") -> float:
     """Training-step MXU flops via XLA cost analysis of the compiled
     single step (valid here: no scan, and the step is conv-dominated —

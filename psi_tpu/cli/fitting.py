@@ -106,6 +106,17 @@ def main(argv=None):
     # EVAL_SYNTH.md); --exact keeps the f32 parity grids
     import jax.numpy as jnp
 
+    # make the active numerics visible at startup: the default changed
+    # from reference-exact to the approximate production stack in round 4
+    # (ADVICE r4; parity measured in EVAL_SYNTH.md / PARITY.md)
+    if args.exact:
+        print("[INFO] fit mode: EXACT (reference-exact loss semantics: "
+              "every-iteration full loss, f32 SDF grids, high LBS precision)")
+    else:
+        print(f"[INFO] fit mode: PRODUCTION (approximate: refresh_every="
+              f"{refresh_every}, lbs_precision={lbs_precision}, bf16 packed "
+              f"SDF grids; protocol-validated vs --exact in EVAL_SYNTH.md)")
+
     assets, registry = build_assets(
         args, scene_names=scenes if not args.synthetic else None,
         sdf_dtype=None if args.exact else jnp.bfloat16,

@@ -305,31 +305,53 @@ def _fit_program(cfg: FitConfig, want_metrics: bool = True, fused_mesh=None):
                 fresh_nn, fresh_sdf, subh["sub"], fused_bundle, fused_mesh,
             )
 
-        def full_iter(carry, _):
-            xhr, opt_state, sel = carry
-            (_, (metrics, new_sel)), grads = jax.value_and_grad(loss_fn, has_aux=True)(xhr)
-            updates, opt_state = opt.update(grads, opt_state, xhr)
-            return (optax.apply_updates(xhr, updates), opt_state, new_sel), metrics["total"]
-
-        def nn_only_iter(carry, _):
-            # fresh NN correspondences, frozen SDF cell cache — skips the
-            # gather-engine-bound packed-grid fetch (sdf_warmup_gathers)
-            xhr, opt_state, sel = carry
-            (_, (metrics, new_sel)), grads = jax.value_and_grad(
-                lambda x: loss_fn(x, sel, fresh_nn=True, fresh_sdf=False), has_aux=True
-            )(xhr)
-            updates, opt_state = opt.update(grads, opt_state, xhr)
-            return (optax.apply_updates(xhr, updates), opt_state, new_sel), metrics["total"]
-
-        def cheap_iter(carry, _):
-            xhr, opt_state, sel = carry
-            (_, (metrics, _)), grads = jax.value_and_grad(
-                lambda x: loss_fn(x, sel, fresh_nn=False, fresh_sdf=False), has_aux=True
-            )(xhr)
-            updates, opt_state = opt.update(grads, opt_state, xhr)
-            return (optax.apply_updates(xhr, updates), opt_state, sel), metrics["total"]
-
         n = xhr_init.shape[0]
+        # Population chunking for gather/compute overlap
+        # (FitConfig.overlap_chunks): the scan carry is a TUPLE of C
+        # per-chunk (xhr, opt_state, sel) states and each iteration runs
+        # the step per chunk, giving XLA C independent chains whose
+        # gather-engine traffic and dense math can overlap (the gather
+        # engine runs fully concurrent with the MXU —
+        # scripts/probe_overlap.py). C=1 is the plain batched program.
+        C = max(1, int(getattr(cfg, "overlap_chunks", 1) or 1))
+        if n % C:
+            C = 1  # chunking requires equal chunks; fall back to batched
+        bounds = [(n * ci // C, n * (ci + 1) // C) for ci in range(C)]
+
+        def loss_fn_c(ci, xhr_c, sel=None, fresh_nn=True, fresh_sdf=True):
+            lo, hi = bounds[ci]
+            return _per_body_losses(
+                assets, xhr_c, xhr_init[lo:hi], cam_ext[lo:hi],
+                scene_idx[lo:hi], cfg, sel, fresh_nn, fresh_sdf,
+                subh["sub"], fused_bundle, fused_mesh,
+            )
+
+        def _one_iter(ci, chunk, kind):
+            xhr, opt_state, sel = chunk
+            if kind == "full":
+                f = lambda x: loss_fn_c(ci, x)
+            elif kind == "nn_only":
+                # fresh NN correspondences, frozen SDF cell cache — skips
+                # the gather-engine-bound packed-grid fetch
+                # (sdf_warmup_gathers)
+                f = lambda x: loss_fn_c(ci, x, sel, fresh_nn=True, fresh_sdf=False)
+            else:  # cheap
+                f = lambda x: loss_fn_c(ci, x, sel, fresh_nn=False, fresh_sdf=False)
+            (_, (metrics, new_sel)), grads = jax.value_and_grad(f, has_aux=True)(xhr)
+            updates, opt_state = opt.update(grads, opt_state, xhr)
+            sel_out = sel if kind == "cheap" else new_sel
+            return (optax.apply_updates(xhr, updates), opt_state, sel_out), metrics["total"]
+
+        def _lift(kind):
+            def it(carry, _):
+                outs = [_one_iter(ci, c, kind) for ci, c in enumerate(carry)]
+                h = outs[0][1] if C == 1 else jnp.concatenate([o[1] for o in outs])
+                return tuple(o[0] for o in outs), h
+            return it
+
+        full_iter = _lift("full")
+        nn_only_iter = _lift("nn_only")
+        cheap_iter = _lift("cheap")
         # carried shapes must match what the full pass emits: real-size
         # frozen state only when refresh is on, tiny dummies otherwise
         # (the warmup segment always carries the FULL vertex cache; the
@@ -342,11 +364,18 @@ def _fit_program(cfg: FitConfig, want_metrics: bool = True, fused_mesh=None):
         # production packed grids — lossless, halves the biggest
         # cheap-iter tensor; ops/sdf.py::sdf_trilinear_packed_cached)
         cache_dtype = assets.sdf_packed.dtype if refresh else jnp.float32
-        sel0 = (
-            jnp.zeros((n, cc, 3), jnp.float32),
-            (jnp.zeros((n, vc, 8), cache_dtype), jnp.zeros((n, vc, 3), jnp.float32)),
+
+        def _sel0(n_c):
+            return (
+                jnp.zeros((n_c, cc, 3), jnp.float32),
+                (jnp.zeros((n_c, vc, 8), cache_dtype),
+                 jnp.zeros((n_c, vc, 3), jnp.float32)),
+            )
+
+        carry = tuple(
+            (xhr_init[lo:hi], opt.init(xhr_init[lo:hi]), _sel0(hi - lo))
+            for lo, hi in bounds
         )
-        carry = (xhr_init, opt.init(xhr_init), sel0)
 
         if not refresh:
             carry, loss_hist = jax.lax.scan(full_iter, carry, None, length=cfg.num_iter)
@@ -383,12 +412,18 @@ def _fit_program(cfg: FitConfig, want_metrics: bool = True, fused_mesh=None):
                         hists.append(h)
             if cfg.cheap_collision_verts > 0 and cfg.num_iter > w:
                 # subset transition: select rows at the post-warmup
-                # state, then slice the carried cell cache so the block
+                # state (population-wide, over the concatenated chunks),
+                # then slice each chunk's carried cell cache so the block
                 # iters (traced below, reading subh) see subset shapes
-                subh["sub"] = _build_sub(convert_to_3D_rot(carry[0]))
-                y_nn_c, (c0, c1) = carry[2]
+                x72_now = convert_to_3D_rot(
+                    carry[0][0] if C == 1 else jnp.concatenate([c[0] for c in carry])
+                )
+                subh["sub"] = _build_sub(x72_now)
                 cr = subh["sub"]["coll_rows"]
-                carry = (carry[0], carry[1], (y_nn_c, (c0[:, cr], c1[:, cr])))
+                carry = tuple(
+                    (xhr_c, opt_c, (y_nn_c, (c0[:, cr], c1[:, cr])))
+                    for xhr_c, opt_c, (y_nn_c, (c0, c1)) in carry
+                )
             n_blocks, rem = divmod(cfg.num_iter - w, T)
 
             def block(carry, _, n_cheap):
@@ -406,7 +441,7 @@ def _fit_program(cfg: FitConfig, want_metrics: bool = True, fused_mesh=None):
                 hists.append(h)
             loss_hist = jnp.concatenate(hists, axis=0)
 
-        xhr = carry[0]
+        xhr = carry[0][0] if C == 1 else jnp.concatenate([c[0] for c in carry])
         if not want_metrics:
             return convert_to_3D_rot(xhr), None, loss_hist
         # final-state metrics: a full exact pass at full-vertex semantics

@@ -11,6 +11,7 @@ gradients all-reduced over ICI by XLA).
 from __future__ import annotations
 
 import functools
+import logging
 import time
 from typing import Any, Callable, Dict, Optional
 
@@ -25,6 +26,8 @@ from psi_tpu.parallel.mesh import replicate, shard_batch
 from psi_tpu.train.checkpoint import load_newest_checkpoint, save_checkpoint
 from psi_tpu.train.objective import SceneAssets, cvae_loss
 from psi_tpu.utils.config import LossConfig, TrainConfig
+
+logger = logging.getLogger(__name__)
 
 
 @flax.struct.dataclass
@@ -169,6 +172,13 @@ def _stage_chunk(group, stage_bf16: bool, sharding=None, attempts: int = 3):
             return {k: jnp.asarray(v) for k, v in stacked_np.items()}
         except jax.errors.JaxRuntimeError as e:
             last_err = e
+            # log every retry so a deterministic failure (e.g. chunk OOM)
+            # is visible immediately rather than masked behind ~3 s of
+            # silent retries (ADVICE r4)
+            logger.warning(
+                "device transfer failed (attempt %d/%d): %s",
+                attempt + 1, attempts, str(e)[:300],
+            )
             # drain every in-flight program/transfer, then back off
             try:
                 jax.effects_barrier()

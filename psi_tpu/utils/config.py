@@ -197,6 +197,19 @@ class FitConfig:
     # OPT-IN, default 0: the production config keeps reference-grade
     # scores and this knob is the documented next speed tier.
     cheap_collision_verts: int = 0
+    # Software-pipeline the population over C independent chunks inside
+    # every fit iteration. The full/exact passes are bound by the
+    # gather ENGINE (the packed-SDF corner fetch, ~8 ns/row), which
+    # scripts/probe_overlap.py measures as fully concurrent with dense
+    # MXU/VPU work (overlap fraction ~1.0: 36.7 ms of gathers + 35.4 ms
+    # of matmuls complete in 35.6 ms when data-independent). Splitting
+    # the body axis into C chunks makes each iteration C independent
+    # chains, so XLA's latency-hiding scheduler can run chunk A's
+    # gather under chunk B's LBS/NN/backward math. Per-body results are
+    # unchanged (every loss term is per-body; chunking only re-groups
+    # the batch dims — equality asserted in tests/test_fit_overlap.py).
+    # 1 disables. Measured A/B on the real chip in ROUND_NOTES.md r5.
+    overlap_chunks: int = 1
 
     @classmethod
     def production(cls, **overrides) -> "FitConfig":

@@ -28,6 +28,7 @@ import numpy as np
 
 def main():
     out_dir = sys.argv[1]
+    mode = sys.argv[2] if len(sys.argv) > 2 else "train"
     from psi_tpu.parallel.distributed import ensure_distributed, global_mesh, is_primary
 
     assert ensure_distributed() is True, "coordinator env not picked up"
@@ -65,6 +66,41 @@ def main():
         # every process holds the full (deterministic) batch; hand jax
         # each shard through the addressable-shard callback
         return jax.make_array_from_callback(x.shape, dp, lambda idx: x[idx])
+
+    if mode == "fit":
+        # population-sharded FIT across the 2-process mesh (SURVEY §2.3:
+        # the generation/fitting sweep is the throughput-critical path;
+        # this is its multi-host variant — round-4 verdict next #6).
+        # Exercises the refresh-block schedule so the frozen-state scan
+        # carries cross the process boundary too.
+        from psi_tpu.fit.fitting import make_fit_step
+        from psi_tpu.utils.config import FitConfig
+
+        rng = np.random.default_rng(0)
+        n_bodies = 8
+        x72 = (rng.normal(size=(n_bodies, 72)) * 0.3).astype(np.float32)
+        x72[:, 2] += 3.0
+        cam_ext = np.tile(np.eye(4, dtype=np.float32), (n_bodies, 1, 1))
+        scene_idx = (np.arange(n_bodies) % 2).astype(np.int32)
+        fit = make_fit_step(
+            assets_r, FitConfig(num_iter=4, refresh_every=2, refresh_warmup=1)
+        )
+        xf, fmetrics, _ = fit(shard(x72), shard(cam_ext), shard(scene_idx))
+        # each process saves its addressable rows of the global result
+        out = {}
+        for i, s in enumerate(xf.addressable_shards):
+            rows = s.index[0]
+            out[f"shard{i}_start"] = np.asarray(rows.start or 0)
+            out[f"shard{i}_data"] = np.asarray(s.data)
+        # metrics are population-sharded too: save the addressable rows
+        for i, s in enumerate(fmetrics["total"].addressable_shards):
+            out[f"total{i}_start"] = np.asarray(s.index[0].start or 0)
+            out[f"total{i}_data"] = np.asarray(s.data)
+        np.savez(os.path.join(out_dir, f"fit_p{jax.process_index()}.npz"), **out)
+        if is_primary():
+            print("PRIMARY_OK", flush=True)
+        print(f"DONE p{jax.process_index()}", flush=True)
+        return
 
     gbatch = {k: shard(v) for k, v in batch.items()}
     step = make_train_step(model, opt, assets_r, LossConfig(), "s1")

@@ -50,6 +50,10 @@ def rng():
 # ---------------------------------------------------------------------------
 
 _SLOW_TESTS = [
+    "test_train.py::test_trainop_scan_epoch_stage_bf16",
+    "test_fit_overlap.py::test_chunked_matches_batched",
+    "test_fit_overlap.py::test_four_chunks",
+    "test_multiprocess.py::test_two_process_population_fit",
     "test_serve.py::test_serve_cli_multi_model",
     "test_serve.py::test_serve_cli_malformed_lines",
     "test_cli.py::test_full_pipeline_synthetic",
