@@ -315,3 +315,66 @@ def test_serve_cli_streaming_chunks(tmp_path):
     import numpy as _np
     total = sum(_np.load(c["out"]).shape[0] for c in chunks)
     assert total == 10
+
+
+def test_serving_queue_mini_soak():
+    """Sustained mixed-size load with a mid-stream malformed storm: every
+    malformed future fails cleanly, no valid request is lost, and the
+    queue keeps serving afterwards. The real-chip 5-minute soak lives in
+    scripts/soak_serve.py (numbers in ROUND_NOTES/README); this is the
+    CPU-fast structural version."""
+    import threading
+    import time as _time
+
+    eng = _tiny_engine(population=8, max_requests=4)
+    eng.warmup()
+    q = ServingQueue(eng, linger_s=0.01)
+    stop = threading.Event()
+    ok, errs = [], []
+
+    def client(cid):
+        rng = np.random.default_rng(cid)
+        while not stop.is_set():
+            rows = int(rng.choice([1, 2, 4]))
+            fut = q.submit(_snapshot(float(rng.uniform(3, 6))), n_samples=rows,
+                           fit=bool(rng.random() < 0.5))
+            try:
+                r = fut.result(timeout=60)
+                ok.append((rows, r.bodies.shape))
+            except Exception as e:  # noqa: BLE001
+                errs.append(repr(e))
+
+    threads = [threading.Thread(target=client, args=(c,), daemon=True) for c in range(2)]
+    [t.start() for t in threads]
+    _time.sleep(1.0)
+
+    # malformed storm: each future fails cleanly, queue survives
+    storm = []
+    for k in range(40):
+        if k % 3 == 0:
+            storm.append(q.submit(_snapshot(), n_samples=-1))
+        elif k % 3 == 1:
+            storm.append(q.submit({"cam_int": np.eye(3, dtype=np.float32)}, n_samples=2))
+        else:
+            bad = _snapshot()
+            bad["xs"] = np.zeros((3,), np.float32)
+            storm.append(q.submit(bad, n_samples=2))
+    failed = 0
+    for f in storm:
+        with pytest.raises(Exception):
+            f.result(timeout=30)
+        failed += 1
+    assert failed == 40
+
+    _time.sleep(1.0)
+    stop.set()
+    [t.join(timeout=60) for t in threads]
+    post = q.submit(_snapshot(), n_samples=3, fit=True).result(timeout=60)
+    q.stop()
+    assert post.bodies.shape == (3, 72) and np.isfinite(post.bodies).all()
+    assert not errs, errs[:3]
+    assert len(ok) >= 4
+    assert all(shape == (rows, 72) for rows, shape in ok)
+    stats = q.stats()
+    assert stats["requests"] == len(ok) + 1
+    assert "latency_p99_s" in stats
