@@ -46,6 +46,7 @@ across the sequential grid steps.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
@@ -53,7 +54,20 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-_VT = 256  # vertex tile (lane-dim multiple of 128)
+# Vertex tile (lane-dim multiple of 128). The bwd kernel issues ~30
+# MXU dots per tile, so per-dot pipeline overhead matters; the tile
+# size trades dot count against VMEM block size and pad waste
+# (sweep: scripts/profile_fused_vt.py). Env override for sweeps.
+_VT = int(os.environ.get("PSI_FUSED_VT", "256"))
+
+# Merge the 12 per-plane blend dots (T_xy = A[:,:,z] @ w) into ONE
+# stacked [12*Bp, Jp] @ [Jp, VT] dot — and, in the backward, the 12
+# g_A plane dots into one [12*Bp, VT] @ [VT, Jp] dot with a single
+# full-block accumulator RMW. Mathematically identical (each output
+# row is the same independent dot product; f32 accumulation either
+# way); cuts the per-tile dot count fwd 15->4 / bwd 30->10 where
+# per-dot MXU pipeline overhead, not FLOPs, is the measured floor.
+_MERGED = os.environ.get("PSI_FUSED_MERGED", "0") == "1"
 _JP = 128  # padded joint count (contraction dim of the blend dots)
 
 
@@ -113,16 +127,30 @@ def make_skinning_bundle(
     )
 
 
+def _blend_T(a_ref, w):
+    """The 12 blend dots T[x][y] = A[:,:,4x+y] @ w, either as 12 small
+    MXU dots or (merged) one [12*Bp, Jp] @ [Jp, VT] dot — per-row
+    results are identical; the merged form amortizes per-dot MXU
+    pipeline overhead (see _MERGED)."""
+    if _MERGED:
+        a = a_ref[...]  # [12, Bp, Jp]
+        t = jnp.dot(
+            a.reshape(a.shape[0] * a.shape[1], a.shape[2]), w,
+            preferred_element_type=jnp.float32,
+        ).reshape(a.shape[0], a.shape[1], w.shape[1])
+        return [[t[4 * x + y] for y in range(4)] for x in range(3)]
+    return [
+        [jnp.dot(a_ref[4 * x + y], w, preferred_element_type=jnp.float32) for y in range(4)]
+        for x in range(3)
+    ]
+
+
 def _fwd_kernel(cb_ref, a_ref, cam_ref, bx_ref, by_ref, bz_ref, w_ref, out_ref):
     vp = [
         jnp.dot(cb_ref[...], b[...], preferred_element_type=jnp.float32)
         for b in (bx_ref, by_ref, bz_ref)
     ]
-    w = w_ref[...]
-    T = [
-        [jnp.dot(a_ref[4 * x + y], w, preferred_element_type=jnp.float32) for y in range(4)]
-        for x in range(3)
-    ]
+    T = _blend_T(a_ref, w_ref[...])
     out = [T[x][3] + T[x][0] * vp[0] + T[x][1] * vp[1] + T[x][2] * vp[2] for x in range(3)]
     for x in range(3):
         out_ref[x] = cam_ref[:, 4 * x + 3 : 4 * x + 4] + sum(
@@ -148,11 +176,7 @@ def _bwd_kernel(
         jnp.dot(cb_ref[...], b[...], preferred_element_type=jnp.float32)
         for b in (bx_ref, by_ref, bz_ref)
     ]
-    wjv = wjv_ref[...]
-    T = [
-        [jnp.dot(a_ref[4 * x + y], wjv, preferred_element_type=jnp.float32) for y in range(4)]
-        for x in range(3)
-    ]
+    T = _blend_T(a_ref, wjv_ref[...])
     out = [T[x][3] + T[x][0] * vp[0] + T[x][1] * vp[1] + T[x][2] * vp[2] for x in range(3)]
 
     g = [g_ref[x] for x in range(3)]
@@ -188,17 +212,30 @@ def _bwd_kernel(
     # Per-plane ref read-modify-write with a STATIC leading index (the
     # same addressing the forward's a_ref[4x+y] loads use) — the
     # value-level .at[plane].add form lowers to scatter-add, which
-    # Pallas TPU does not implement.
+    # Pallas TPU does not implement. In merged mode the 12 planes stack
+    # into ONE [12*Bp, VT] @ [VT, Jp] dot and a single full-block RMW.
     wvj = wvj_ref[...]
-    for x in range(3):
-        for y in range(3):
-            ga_ref[4 * x + y] = ga_ref[4 * x + y] + jnp.dot(
-                (gout[x] * vp[y]).astype(jnp.bfloat16), wvj,
-                preferred_element_type=jnp.float32,
+    if _MERGED:
+        planes = []
+        for x in range(3):
+            planes.extend(gout[x] * vp[y] for y in range(3))
+            planes.append(gout[x])
+        stk = jnp.stack(planes).astype(jnp.bfloat16)  # [12, Bp, VT], plane 4x+y
+        ga = jnp.dot(
+            stk.reshape(12 * stk.shape[1], stk.shape[2]), wvj,
+            preferred_element_type=jnp.float32,
+        ).reshape(12, stk.shape[1], wvj.shape[1])
+        ga_ref[...] = ga_ref[...] + ga
+    else:
+        for x in range(3):
+            for y in range(3):
+                ga_ref[4 * x + y] = ga_ref[4 * x + y] + jnp.dot(
+                    (gout[x] * vp[y]).astype(jnp.bfloat16), wvj,
+                    preferred_element_type=jnp.float32,
+                )
+            ga_ref[4 * x + 3] = ga_ref[4 * x + 3] + jnp.dot(
+                gout[x].astype(jnp.bfloat16), wvj, preferred_element_type=jnp.float32
             )
-        ga_ref[4 * x + 3] = ga_ref[4 * x + 3] + jnp.dot(
-            gout[x].astype(jnp.bfloat16), wvj, preferred_element_type=jnp.float32
-        )
 
 
 def _pad_operands(cb, A12, cam12, Cp):

@@ -51,6 +51,7 @@ def rng():
 
 _SLOW_TESTS = [
     "test_serve.py::test_serving_queue_mini_soak",
+    "test_fused_skinning.py::test_merged_dot_variant_matches_unmerged",
     "test_train.py::test_trainop_scan_epoch_stage_bf16",
     "test_fit_overlap.py::test_chunked_matches_batched",
     "test_fit_overlap.py::test_four_chunks",

@@ -267,3 +267,28 @@ def test_fit_step_fused_sharded():
     d = np.abs(np.asarray(x_m) - np.asarray(x_1))
     assert d.max() < 0.25, f"max fitted-param drift {d.max()}"
     assert d.mean() < 1e-3, f"mean fitted-param drift {d.mean()}"
+
+
+def test_merged_dot_variant_matches_unmerged(model, params, monkeypatch):
+    """The _MERGED formulation (12 blend dots stacked into one MXU dot,
+    fwd and bwd) is the same math in a different dot shape — outputs and
+    gradients must match the unmerged kernel to float tolerance."""
+    from psi_tpu.ops import fused_skinning as fs
+
+    def run():
+        verts, _ = smplx_forward_fused(model, cam_ext=None, **params)
+
+        def loss(p):
+            v, _ = smplx_forward_fused(model, cam_ext=None, **p)
+            return (v * v).mean()
+
+        return verts, jax.grad(loss)(params)
+
+    monkeypatch.setattr(fs, "_MERGED", False)
+    v0, g0 = run()
+    monkeypatch.setattr(fs, "_MERGED", True)
+    v1, g1 = run()
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), atol=1e-5)
+    for k in g0:
+        np.testing.assert_allclose(np.asarray(g0[k]), np.asarray(g1[k]),
+                                   atol=1e-5, rtol=1e-4)
