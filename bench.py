@@ -250,6 +250,28 @@ def measure_tpu() -> float:
                 "mode": f"scan-epoch, {K} steps/program",
             }
             _log(f"train: {1.0 / train_wall_per_step:.1f} steps/s at batch {TRAIN_BATCH}")
+            # pruned-chamfer train tier: the contact NN over the full 20k
+            # scene cloud is the single largest train-step cost
+            # (scripts/profile_train_step.py decomposition); the Morton-
+            # tile K=2048 pruning is the same scheme the fit path
+            # protocol-validated (tests/test_train_prune.py pins the
+            # loss parity on the train objective)
+            epoch_fn_p = make_epoch_step(
+                tmodel, topt, assets, LossConfig(prune_scene_points=2048), "s1")
+            tstate_p = init_state(tmodel, tcfg, topt, jax.random.PRNGKey(0))
+            tstate_p, m = epoch_fn_p(tstate_p, stacked, keys, fca, fca)
+            jax.block_until_ready(m)
+            t0 = time.time()
+            for _ in range(reps):
+                tstate_p, m = epoch_fn_p(tstate_p, stacked, keys, fca, fca)
+            jax.block_until_ready(m)
+            wps = (time.time() - t0) / (reps * K)
+            stages["train_pruned2048"] = {
+                "batch_size": TRAIN_BATCH,
+                "steps_per_sec": round(1.0 / wps, 1),
+                "samples_per_sec": round(TRAIN_BATCH / wps, 0),
+            }
+            _log(f"train pruned2048: {1.0 / wps:.1f} steps/s")
         except Exception as e:
             stages["train"] = {"error": str(e)[:200]}
 

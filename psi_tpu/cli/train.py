@@ -31,6 +31,12 @@ def build_parser():
     p.add_argument("--grad_clip_norm", type=float, default=None)
     p.add_argument("--num_devices", type=int, default=None, help="DP mesh size (None = all)")
     p.add_argument("--synthetic_batches", type=int, default=4, help="batches/epoch in --synthetic mode")
+    p.add_argument(
+        "--prune_scene_points", type=int, default=0,
+        help="contact-NN candidate pruning for the training chamfer term "
+        "(0 = reference-exact full-cloud NN, the default; 2048 = the "
+        "fit-validated Morton-tile pruning — the chamfer term is the "
+        "largest train-step cost at batch>=32, scripts/profile_train_step.py)")
     from psi_tpu.cli.common import add_asset_args
 
     add_asset_args(p)
@@ -59,6 +65,7 @@ def main(argv=None):
         weight_loss_kl=args.weight_loss_kl,
         weight_contact=args.weight_loss_contact,
         weight_collision=args.weight_loss_collision,
+        prune_scene_points=args.prune_scene_points,
     )
 
     assets, registry = build_assets(args)

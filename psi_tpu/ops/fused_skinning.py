@@ -68,6 +68,21 @@ _VT = int(os.environ.get("PSI_FUSED_VT", "256"))
 # way); cuts the per-tile dot count fwd 15->4 / bwd 30->10 where
 # per-dot MXU pipeline overhead, not FLOPs, is the measured floor.
 _MERGED = os.environ.get("PSI_FUSED_MERGED", "0") == "1"
+
+# Mosaic's default scoped-VMEM budget is 16 MiB; _VT=512 wants ~20.5.
+# Set PSI_FUSED_VMEM_MB to raise it for tile-size sweeps.
+_VMEM_MB = int(os.environ.get("PSI_FUSED_VMEM_MB", "0"))
+
+
+def _compiler_params():
+    if _VMEM_MB <= 0:
+        return None
+    from jax.experimental.pallas import tpu as pltpu
+
+    cls = getattr(pltpu, "CompilerParams", None) or getattr(
+        pltpu, "TPUCompilerParams"
+    )
+    return cls(vmem_limit_bytes=_VMEM_MB * 1024 * 1024)
 _JP = 128  # padded joint count (contraction dim of the blend dots)
 
 
@@ -281,6 +296,7 @@ def _apply_fwd(n_verts, interpret, cb, A12, cam12, bcx, bcy, bcz, bvx, bvy, bvz,
         out_specs=pl.BlockSpec((3, Bp, _VT), lambda i: (0, 0, i)),
         out_shape=jax.ShapeDtypeStruct((3, Bp, Vpad), jnp.float32),
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(cb_p, a_p, cam_p, bcx, bcy, bcz, w_jv)
     verts = jnp.transpose(out, (1, 2, 0))[:B, :n_verts]
     return verts, (cb, A12, cam12, bcx, bcy, bcz, bvx, bvy, bvz, w_jv, w_vj)
@@ -319,6 +335,7 @@ def _apply_bwd(n_verts, interpret, res, g):
             jax.ShapeDtypeStruct((Bp, 16), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(cb_p, a_p, cam_p, bcx, bcy, bcz, w_jv, bvx, bvy, bvz, w_vj, g_p)
 
     g_cb = gcb[:B, :C].astype(cb.dtype)

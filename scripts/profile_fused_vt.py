@@ -128,9 +128,13 @@ def main():
     if "--child" in sys.argv:
         child()
         return
-    for vt in (256, 512, 1024):
-        for merged in ("0", "1"):
-            env = dict(os.environ, PSI_FUSED_VT=str(vt), PSI_FUSED_MERGED=merged)
+    # (vt, merged, vmem_mb): pass combos as "512:1:64" args, default sweep below
+    combos = [
+        tuple(a.split(":")) for a in sys.argv[1:] if ":" in a
+    ] or [(vt, m, "0") for vt in (256, 512, 1024) for m in ("0", "1")]
+    for vt, merged, vmem in combos:
+            env = dict(os.environ, PSI_FUSED_VT=str(vt), PSI_FUSED_MERGED=str(merged),
+                       PSI_FUSED_VMEM_MB=str(vmem))
             try:
                 # a healthy child takes ~4-6 min; a tunnel stall sits at
                 # ~0 CPU forever — bound it so one stall doesn't eat the run

@@ -50,12 +50,20 @@ def main():
     scene_batches = [gen.next_batch(1) for _ in range(N_SCENES)]
 
     cfg_exact = FitConfig.exact(num_iter=NUM_ITER, contact_denom_offset=DENOM)
-    cfg_prod = FitConfig.production(num_iter=NUM_ITER, contact_denom_offset=DENOM)
-    fit_exact = make_fit_step(assets, cfg_exact)
-    fit_prod = make_fit_step(assets_bf16, cfg_prod)
+    fits = {"exact": make_fit_step(assets, cfg_exact)}
+    # --refresh "10,15,20" adds one production variant per cadence
+    # (default: the production default alone)
+    cadences = [int(x) for x in (
+        sys.argv[sys.argv.index("--refresh") + 1].split(",")
+        if "--refresh" in sys.argv else ["10"]
+    )]
+    for r in cadences:
+        cfg = FitConfig.production(num_iter=NUM_ITER, contact_denom_offset=DENOM,
+                                   refresh_every=r)
+        fits[f"prod_r{r}"] = make_fit_step(assets_bf16, cfg)
 
     def run_seed(seed):
-        rows = {"exact": [], "prod": []}
+        rows = {name: [] for name in fits}
         for si, b in enumerate(scene_batches):
             x72 = generate_bodies(
                 model, variables, jnp.asarray(b["xs"]), jnp.asarray(b["cam_int"]),
@@ -64,7 +72,7 @@ def main():
             )
             cam_ext = jnp.asarray(np.tile(b["cam_ext"][0][None], (N_PER_SCENE, 1, 1)))
             sidx = jnp.full((N_PER_SCENE,), si, jnp.int32)
-            for name, fit in (("exact", fit_exact), ("prod", fit_prod)):
+            for name, fit in fits.items():
                 xf = fit(x72, cam_ext, sidx)[0]
                 # scores always against the fixed f32 protocol assets
                 s_nc, s_ct = collision_contact_scores(assets, xf, cam_ext, sidx)
@@ -80,10 +88,8 @@ def main():
     for s in range(N_SEEDS):
         r = run_seed(s)
         per_seed.append(r)
-        print(f"[seed {s}] exact nc={r['exact'][0]:.4f} ct={r['exact'][1]:.4f} | "
-              f"prod nc={r['prod'][0]:.4f} ct={r['prod'][1]:.4f} | "
-              f"d_nc={r['prod'][0]-r['exact'][0]:+.4f} d_ct={r['prod'][1]-r['exact'][1]:+.4f}",
-              flush=True)
+        parts = [f"{n} nc={r[n][0]:.4f} ct={r[n][1]:.4f}" for n in fits]
+        print(f"[seed {s}] " + " | ".join(parts), flush=True)
     wall = time.time() - t0
 
     def ci(vals):
@@ -97,11 +103,15 @@ def main():
 
     for metric, idx in (("non-collision", 0), ("contact", 1)):
         e_m, e_h = ci([r["exact"][idx] for r in per_seed])
-        p_m, p_h = ci([r["prod"][idx] for r in per_seed])
-        d_m, d_h = ci([r["prod"][idx] - r["exact"][idx] for r in per_seed])
-        verdict = "within CI (no detectable bias)" if abs(d_m) <= d_h else "BIASED"
-        print(f"{metric:>13}: exact {e_m:.4f}±{e_h:.4f}  prod {p_m:.4f}±{p_h:.4f}  "
-              f"paired delta {d_m:+.4f}±{d_h:.4f}  -> {verdict}", flush=True)
+        print(f"{metric:>13}: exact {e_m:.4f}±{e_h:.4f}", flush=True)
+        for name in fits:
+            if name == "exact":
+                continue
+            p_m, p_h = ci([r[name][idx] for r in per_seed])
+            d_m, d_h = ci([r[name][idx] - r["exact"][idx] for r in per_seed])
+            verdict = "within CI (no detectable bias)" if abs(d_m) <= d_h else "BIASED"
+            print(f"{'':>13}  {name} {p_m:.4f}±{p_h:.4f}  "
+                  f"paired delta {d_m:+.4f}±{d_h:.4f}  -> {verdict}", flush=True)
     print(f"seeds={N_SEEDS} shape={'PROX-E' if '--proxe' in sys.argv else 'MP3D-R'} "
           f"wall={wall:.0f}s", flush=True)
 

@@ -136,7 +136,7 @@ def main():
         elif kind == 1:
             f = q.submit(make_snapshot(rng, 5.0), n_samples="many", fit=True)
         elif kind == 2:
-            f = q.submit({"cam_int": np.eye(3, np.float32)}, n_samples=4)  # missing xs
+            f = q.submit({"cam_int": np.eye(3, dtype=np.float32)}, n_samples=4)  # missing xs
         else:
             bad = make_snapshot(rng, 5.0)
             bad["xs"] = np.zeros((7,), np.float32)  # wrong rank
