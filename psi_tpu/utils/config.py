@@ -215,13 +215,17 @@ class FitConfig:
     def production(cls, **overrides) -> "FitConfig":
         """The throughput configuration of record: selection-refresh
         blocks (full loss every 10th iter after a 4-iter NN-only warmup)
-        + the fused Pallas decode+LBS kernel. Protocol-validated
-        score-identical to exact at both protocol shapes — PROX-E
-        non-collision 0.8150 / contact 0.1933 EXACT vs 0.8150 / 0.1933
-        FUSED (scripts/protocol_compare_refresh.py, round 4); 7.75 vs
-        32.2 ms/iter at bench shapes (scripts/profile_fused.py). Pair
-        with bf16 packed SDF grids (make_assets(sdf_dtype=bfloat16))
-        for the full production stack."""
+        + the fused Pallas decode+LBS kernel; 7.6 vs 32.2 ms/iter at
+        bench shapes (scripts/profile_fused.py). Protocol-score cost
+        quantified by 6-seed PAIRED runs vs exact (EVAL_SYNTH.md round
+        5): non-collision bias ≤0.0009 absolute at both protocol
+        shapes; contact bias +0.0060±0.0032 at PROX-E / −0.0035±0.0034
+        at MP3D-R (95% CI) — 3–5% relative, well under the cross-seed
+        spread of the metrics. Pair with bf16 packed SDF grids
+        (make_assets(sdf_dtype=bfloat16)) for the full production
+        stack. refresh_every=20 is a measured +17%-throughput opt-in
+        whose PROX-E contact bias is 2.6x larger (same EVAL_SYNTH
+        table); FitConfig.exact() restores reference semantics."""
         kw = dict(refresh_every=10, lbs_precision="fused")
         kw.update(overrides)
         return cls(**kw)
