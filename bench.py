@@ -158,6 +158,19 @@ def measure_tpu() -> float:
     fit_s = float(np.median(timed_groups(sample_fit, 700))) - sample_s
     exact_fit_s = dt_exact - sample_s
 
+    # refresh20 opt-in tier (quality CIs in EVAL_SYNTH round 5): record
+    # its fit-only rate in the artifact of record
+    fit_r20 = make_fit_step(
+        assets_bf16, FitConfig.production(num_iter=NUM_ITER, refresh_every=20),
+        want_metrics=False)
+    out = fit_r20(x72_w, cam_ext, scene_idx)[0]
+    out.block_until_ready()
+
+    def sample_fit_r20(key):
+        return fit_r20(sample_only(key), cam_ext, scene_idx)[0]
+
+    fit_r20_s = float(np.median(timed_groups(sample_fit_r20, 900, 5, 2))) - sample_s
+
     stages = {
         "timing_protocol": {
             "groups": groups, "reps_per_group": reps_per_group, "stat": "median",
@@ -180,6 +193,12 @@ def measure_tpu() -> float:
         "model": "HumanCVAES1",
         "exact_mode_bodies_per_sec": round(N_BODIES / dt_exact, 2),
         "exact_fit_ms_per_iter": round(exact_fit_s / NUM_ITER * 1e3, 2),
+        "refresh20_tier": {
+            "fit_ms_per_iter": round(fit_r20_s / NUM_ITER * 1e3, 2),
+            "fit_only_bodies_per_sec": round(N_BODIES / fit_r20_s, 1),
+            "note": "opt-in FitConfig.production(refresh_every=20); "
+                    "quality CIs in EVAL_SYNTH.md round 5",
+        },
         "shapes": {
             "body_verts": 10475, "contact_verts": N_CONTACT,
             "scene_points": SCENE_POINTS, "sdf_dim": SDF_DIM,
